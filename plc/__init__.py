@@ -1,0 +1,11 @@
+"""plc — PySpark-native per-column lightweight-compression engine.
+
+A from-scratch rebuild of the capabilities of ``peterboncz/parquet-lib``
+(dictionary encoding, hybrid RLE/bit-packing, FSST, frame-of-reference +
+bit-packing, per-column-chunk codec auto-selection) expressed Spark-first:
+DataFrame transforms plan the job (range partitioning, skew salting, stats
+pre-pass, manifests, resume) and Arrow-vectorized ``mapInArrow`` kernels do
+the encoding — zero per-row Python. See SURVEY.md for the blueprint.
+"""
+
+__version__ = "0.1.0"

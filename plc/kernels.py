@@ -1,0 +1,271 @@
+"""Vectorized numpy encode/decode kernels (SURVEY.md §2 Part A, K1-K5, K7).
+
+These are the per-column-chunk codecs that run inside ``mapInArrow`` Python
+workers — no per-row Python anywhere; every kernel operates on whole numpy
+arrays (BASELINE.json input_hint: "vectorized pandas/Arrow UDFs (no per-row
+Python) throughout").
+
+Wire formats:
+- bitpack: parquet bit-packed order — values LSB-first, value-major, packed
+  little-endian into bytes (parquet-format Encodings.md "bit-packed run").
+- rle_hybrid: the parquet RLE/bit-packing hybrid byte format
+  (Encodings.md, encoding id RLE=3): varint headers, ``h&1==0`` → RLE run of
+  ``h>>1`` copies of one ceil(w/8)-byte LE value; ``h&1==1`` → ``(h>>1)*8``
+  bit-packed values.
+- frame-of-reference (FOR): per-chunk i64 reference + bit-packed deltas
+  (Zukowski et al., ICDE 2006; parquet analogue DELTA_BINARY_PACKED).
+
+Reference citation note (SURVEY.md §0): /root/reference is empty in this
+sandbox, so kernels are built to the public parquet-format spec and papers,
+not to reference file:line cites.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# --------------------------------------------------------------------------
+# small helpers
+# --------------------------------------------------------------------------
+
+
+def bits_needed(max_val: int) -> int:
+    """Width in bits to represent values in [0, max_val]."""
+    if max_val <= 0:
+        return 0
+    return int(max_val).bit_length()
+
+
+def varint_encode(values) -> bytes:
+    """ULEB128-encode a sequence of non-negative ints (header use only)."""
+    out = bytearray()
+    for v in values:
+        v = int(v)
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            if v:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                break
+    return bytes(out)
+
+
+def varint_decode_one(buf: bytes, pos: int) -> tuple[int, int]:
+    """Decode one ULEB128 varint at ``pos``; return (value, new_pos)."""
+    result = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+
+
+# --------------------------------------------------------------------------
+# K2: bit-packing (parquet bit-packed order: LSB-first, value-major)
+# --------------------------------------------------------------------------
+
+_BYTE_ALIGNED = {8: np.uint8, 16: np.uint16, 32: np.uint32, 64: np.uint64}
+
+
+def bitpack(arr: np.ndarray, w: int) -> bytes:
+    """Pack non-negative ints (< 2**w) into ``w`` bits each.
+
+    Byte-aligned widths take a direct-cast fast path; generic widths build a
+    little-endian bit matrix and use ``np.packbits`` (C speed).
+    """
+    n = arr.size
+    if w == 0 or n == 0:
+        return b""
+    if w in _BYTE_ALIGNED:
+        return np.ascontiguousarray(arr.astype(_BYTE_ALIGNED[w], copy=False)).tobytes()
+    a = arr.astype(np.uint64, copy=False)
+    bits = np.empty((n, w), dtype=np.uint8)
+    for j in range(w):  # loop over bit positions (<=64), each pass vectorized over n
+        np.bitwise_and(a >> np.uint64(j), 1, out=bits[:, j], casting="unsafe")
+    return np.packbits(bits.reshape(-1), bitorder="little").tobytes()
+
+
+def bitunpack(buf: bytes | memoryview, w: int, n: int) -> np.ndarray:
+    """Inverse of :func:`bitpack`; returns uint64[n]."""
+    if w == 0 or n == 0:
+        return np.zeros(n, dtype=np.uint64)
+    if w in _BYTE_ALIGNED:
+        dt = _BYTE_ALIGNED[w]
+        return np.frombuffer(buf, dtype=dt, count=n).astype(np.uint64)
+    bits = np.unpackbits(
+        np.frombuffer(buf, dtype=np.uint8), bitorder="little", count=n * w
+    )
+    mat = bits.reshape(n, w)
+    out = np.zeros(n, dtype=np.uint64)
+    for j in range(w):
+        out |= mat[:, j].astype(np.uint64) << np.uint64(j)
+    return out
+
+
+# --------------------------------------------------------------------------
+# K1: plain encode (raw little-endian values)
+# --------------------------------------------------------------------------
+
+
+def plain_encode(arr: np.ndarray) -> bytes:
+    return np.ascontiguousarray(arr).astype(arr.dtype.newbyteorder("<")).tobytes()
+
+
+def plain_decode(buf, dtype, n: int) -> np.ndarray:
+    return np.frombuffer(buf, dtype=np.dtype(dtype).newbyteorder("<"), count=n).astype(
+        dtype, copy=False
+    )
+
+
+# --------------------------------------------------------------------------
+# K3 / K7: RLE / bit-packing hybrid (parquet Encodings.md, RLE=3)
+# --------------------------------------------------------------------------
+
+_RLE_MIN_RUN = 8  # runs shorter than this go to bit-packed segments
+
+
+def _rle_value_bytes(v: int, w: int) -> bytes:
+    nb = (w + 7) // 8
+    return int(v).to_bytes(max(nb, 1), "little") if w > 0 else b""
+
+
+def rle_hybrid_encode(arr: np.ndarray, w: int) -> bytes:
+    """Encode non-negative ints (< 2**w) in the parquet RLE/bit-pack hybrid
+    wire format. Vectorized run detection; the Python loop is over run
+    *segments* (alternating RLE / bit-packed regions), not values.
+    """
+    n = arr.size
+    if n == 0:
+        return b""
+    a = arr.astype(np.uint64, copy=False)
+    # run detection (vectorized)
+    change = np.flatnonzero(np.diff(a)) + 1
+    starts = np.concatenate(([0], change))
+    lens = np.diff(np.concatenate((starts, [n])))
+    long_mask = lens >= _RLE_MIN_RUN
+
+    out = bytearray()
+    pending = 0  # count of values queued for the current bit-packed segment
+    pend_start = 0
+
+    def flush_bitpacked(end: int, final: bool) -> None:
+        nonlocal pending, pend_start
+        if pending == 0:
+            return
+        ngroups = (pending + 7) // 8 if final else pending // 8
+        nvals = ngroups * 8
+        seg = a[pend_start : pend_start + min(nvals, pending)]
+        if nvals > pending:  # zero-pad the last group (only legal at stream end)
+            seg = np.concatenate((seg, np.zeros(nvals - pending, dtype=np.uint64)))
+        out.extend(varint_encode([(ngroups << 1) | 1]))
+        out.extend(bitpack(seg, w))
+        leftover = pending - min(nvals, pending)
+        pend_start += nvals
+        pending = leftover
+
+    nruns = starts.size
+    for i in range(nruns):
+        s, ln = int(starts[i]), int(lens[i])
+        if not long_mask[i]:
+            if pending == 0:
+                pend_start = s
+            pending += ln
+            continue
+        # steal values from the head of this long run so the preceding
+        # bit-packed segment is a multiple of 8 (mid-stream pad is illegal)
+        steal = (-pending) % 8 if pending else 0
+        if ln - steal >= _RLE_MIN_RUN:
+            pending += steal
+            flush_bitpacked(s + steal, final=False)
+            rle_len = ln - steal
+            out.extend(varint_encode([rle_len << 1]))
+            out.extend(_rle_value_bytes(int(a[s]), w))
+            pending = 0
+        else:  # stealing would kill the run: fold it into the segment
+            if pending == 0:
+                pend_start = s
+            pending += ln
+    flush_bitpacked(n, final=True)
+    return bytes(out)
+
+
+def rle_hybrid_decode(buf: bytes | memoryview, w: int, n: int) -> np.ndarray:
+    """Inverse of :func:`rle_hybrid_encode`; returns uint64[n]."""
+    buf = bytes(buf)
+    out = np.empty(n, dtype=np.uint64)
+    pos = 0
+    filled = 0
+    nb = max((w + 7) // 8, 1)
+    while filled < n:
+        h, pos = varint_decode_one(buf, pos)
+        if h & 1:  # bit-packed run of (h>>1)*8 values
+            ngroups = h >> 1
+            nvals = ngroups * 8
+            nbytes = ngroups * w
+            vals = bitunpack(buf[pos : pos + nbytes], w, nvals)
+            take = min(nvals, n - filled)
+            out[filled : filled + take] = vals[:take]
+            filled += take
+            pos += nbytes
+        else:  # RLE run
+            cnt = h >> 1
+            v = int.from_bytes(buf[pos : pos + nb], "little") if w > 0 else 0
+            pos += nb if w > 0 else 0
+            out[filled : filled + cnt] = v
+            filled += cnt
+    return out
+
+
+# --------------------------------------------------------------------------
+# K5: frame-of-reference + bit-pack
+# --------------------------------------------------------------------------
+
+
+def for_encode(arr: np.ndarray) -> tuple[int, int, bytes]:
+    """FOR: returns (reference, width, packed-deltas). Works for any signed
+    int dtype; deltas = arr - min(arr) are non-negative."""
+    if arr.size == 0:
+        return 0, 0, b""
+    a = arr.astype(np.int64, copy=False)
+    ref = int(a.min())
+    deltas = (a - np.int64(ref)).view(np.uint64)  # non-negative by construction
+    w = bits_needed(int(deltas.max()))
+    return ref, w, bitpack(deltas, w)
+
+
+def for_decode(ref: int, w: int, buf, n: int, dtype=np.int64) -> np.ndarray:
+    deltas = bitunpack(buf, w, n).view(np.int64)  # values < 2**63
+    return (deltas + np.int64(ref)).astype(dtype)
+
+
+def rle_for_encode(arr: np.ndarray) -> tuple[int, int, bytes]:
+    """RLE over FOR-shifted values: (ref, width, rle_hybrid payload)."""
+    if arr.size == 0:
+        return 0, 0, b""
+    a = arr.astype(np.int64, copy=False)
+    ref = int(a.min())
+    deltas = (a - np.int64(ref)).view(np.uint64)  # non-negative by construction
+    w = bits_needed(int(deltas.max()))
+    return ref, w, rle_hybrid_encode(deltas, w)
+
+
+def rle_for_decode(ref: int, w: int, buf, n: int, dtype=np.int64) -> np.ndarray:
+    deltas = rle_hybrid_decode(buf, w, n).view(np.int64)  # values < 2**63
+    return (deltas + np.int64(ref)).astype(dtype)
+
+
+# --------------------------------------------------------------------------
+# run-length statistics input (K10 helper)
+# --------------------------------------------------------------------------
+
+
+def run_count(arr: np.ndarray) -> int:
+    """Number of equal-value runs (vectorized)."""
+    if arr.size == 0:
+        return 0
+    return int(1 + np.count_nonzero(np.diff(arr.astype(np.int64, copy=False))))
