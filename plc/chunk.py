@@ -1,0 +1,437 @@
+"""K13 chunk container + per-plane codec dispatch (SURVEY.md §2 K1-K5, K7-K9, K12-K14).
+
+A *chunk* is our analogue of a parquet column-chunk group: all columns for a
+contiguous slice of rows, each column encoded independently into a
+self-describing *frame*, the frames packed into one binary blob that travels
+through Spark as a single ``binary`` cell. Mirrors parquet's
+page/column-chunk/PageHeader layering (parquet-format parquet.thrift) without
+copying its Thrift framing.
+
+Frame wire format (ours)::
+
+    frame := u8 codec | u32 n | u32 body_len | body
+
+Codecs:
+    0 PLAIN   body := u8 dtype | raw little-endian bytes          (K1)
+    1 FOR     body := i64 ref | u8 w | u8 dtype | packed deltas   (K5+K2)
+    2 RLE     body := i64 ref | u8 w | u8 dtype | rle/bp hybrid   (K3+K7)
+    3 DICT    body := values-frame | indices-frame                (K4)
+    4 FSST    body := table | code_lens-frame | codes             (K6)
+    5 ZSTD    body := u64 raw_len | zstd(inner frame)             (K12)
+    6 STRING  body := lengths-frame | bytes-frame-or-FSST         (K9 analogue)
+    7 LIST32  body := lengths-frame | int32 values-frame          (K9)
+    8 NULLS   body := validity-frame(RLE 0/1) | values-frame      (K8)
+
+Chunk blob := b"PLC1" | u8 version | u32 n_rows | u8 ncols |
+    per column: u16 name_len | name | u64 frame_len | u32 crc32 | frame
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+
+from plc import kernels as K
+
+MAGIC = b"PLC1"
+VERSION = 1
+
+PLAIN, FOR, RLE, DICT, FSST, ZSTD, STRING, LIST32, NULLS = range(9)
+CODEC_NAMES = ["plain", "for", "rle", "dict", "fsst", "zstd", "string", "list", "nulls"]
+
+_DTYPES = [np.dtype(t) for t in ("int32", "int64", "float32", "float64", "uint8",
+                                 "int16", "uint16", "uint32", "uint64", "bool")]
+_DTYPE_CODE = {dt: i for i, dt in enumerate(_DTYPES)}
+
+
+@dataclass
+class EncodeConfig:
+    """Codec-selection knobs (K11). Defaults tuned on FIXTURES.md regimes."""
+
+    zstd_level: int = 3
+    zstd_min_gain: float = 0.96   # keep zstd wrap only if < 96% of inner size
+    use_zstd: bool = True
+    use_fsst: bool = True
+    use_dict: bool = True
+    rle_min_avg_run: float = 2.5  # avg run length above which RLE beats FOR
+    dict_max_card_frac: float = 0.5
+    sample_values: int = 4096     # try-top-2-keep-smallest sample size
+    _fsst_cache: dict = field(default_factory=dict, repr=False)
+
+
+# --------------------------------------------------------------------------
+# frame primitives
+# --------------------------------------------------------------------------
+
+
+def _frame(codec: int, n: int, body: bytes) -> bytes:
+    return struct.pack("<BII", codec, n, len(body)) + body
+
+
+def _frame_header(buf: memoryview, pos: int) -> tuple[int, int, int, int]:
+    codec, n, blen = struct.unpack_from("<BII", buf, pos)
+    return codec, n, blen, pos + 9
+
+
+# --------------------------------------------------------------------------
+# integer plane (int32/int64/float/bool): PLAIN / FOR / RLE / DICT (+ZSTD)
+# --------------------------------------------------------------------------
+
+
+def _plain_frame(arr: np.ndarray) -> bytes:
+    body = struct.pack("<B", _DTYPE_CODE[arr.dtype]) + K.plain_encode(arr)
+    return _frame(PLAIN, arr.size, body)
+
+
+def _for_frame(arr: np.ndarray) -> bytes:
+    ref, w, payload = K.for_encode(arr)
+    body = struct.pack("<qBB", ref, w, _DTYPE_CODE[arr.dtype]) + payload
+    return _frame(FOR, arr.size, body)
+
+
+def _rle_frame(arr: np.ndarray) -> bytes:
+    ref, w, payload = K.rle_for_encode(arr)
+    body = struct.pack("<qBB", ref, w, _DTYPE_CODE[arr.dtype]) + payload
+    return _frame(RLE, arr.size, body)
+
+
+def _dict_int_frame(arr: np.ndarray, cfg: EncodeConfig) -> bytes:
+    # hash-based dictionary encode (Arrow C++), ~5x faster than np.unique
+    enc = pa.array(arr).dictionary_encode()
+    values = enc.dictionary.to_numpy(zero_copy_only=False).astype(arr.dtype)
+    idx = enc.indices.to_numpy(zero_copy_only=False)
+    vals_frame = encode_int_plane(values, cfg, allow_dict=False, allow_zstd=False)
+    idx_frame = encode_int_plane(idx.astype(np.int64, copy=False), cfg,
+                                 allow_dict=False, allow_zstd=False)
+    return _frame(DICT, arr.size, vals_frame + idx_frame)
+
+
+def _zstd_wrap(inner: bytes, cfg: EncodeConfig) -> bytes:
+    codec = pa.Codec("zstd", compression_level=cfg.zstd_level)
+    comp = codec.compress(inner, asbytes=True)
+    if len(comp) >= len(inner) * cfg.zstd_min_gain:
+        return inner
+    _, n, _, _ = _frame_header(memoryview(inner), 0)
+    return _frame(ZSTD, n, struct.pack("<Q", len(inner)) + comp)
+
+
+def _int_stats(arr: np.ndarray, cfg: EncodeConfig):
+    """K10: sampled cardinality / run-length / value-range statistics.
+
+    Cardinality uses a strided sample (spread across the chunk); run length
+    uses a contiguous window (strides would break runs). min/max are exact
+    (single vectorized pass — also needed for the FOR reference).
+    """
+    n = arr.size
+    sample = arr[:: max(1, n // cfg.sample_values)][: cfg.sample_values]
+    card = np.unique(sample).size
+    win = arr[: cfg.sample_values * 4]
+    runs = K.run_count(win)
+    lo, hi = int(arr.min()), int(arr.max())
+    return card, sample.size, win.size / max(runs, 1), lo, hi
+
+
+def encode_int_plane(arr: np.ndarray, cfg: EncodeConfig, *, allow_dict: bool = True,
+                     allow_zstd: bool = True) -> bytes:
+    """K11 auto-selection for a numeric plane, then encode.
+
+    Selection: stats (K10) rank candidates; the top two are trial-encoded on
+    a contiguous sample and the smaller wins (SURVEY.md K11
+    "try-and-keep-smallest among top-2 candidates on a sample").
+    """
+    if arr.size == 0:
+        return _frame(PLAIN, 0, struct.pack("<B", _DTYPE_CODE[arr.dtype]))
+    if arr.dtype.kind == "f" or arr.dtype == np.bool_:
+        frame = _plain_frame(arr)
+        return _zstd_wrap(frame, cfg) if (cfg.use_zstd and allow_zstd) else frame
+
+    card, ssize, avg_run, lo, hi = _int_stats(arr, cfg)
+    w = K.bits_needed(hi - lo)
+    candidates = []
+    if avg_run >= cfg.rle_min_avg_run:
+        candidates.append(_rle_frame)
+    candidates.append(_for_frame)
+    if (cfg.use_dict and allow_dict and card <= ssize * cfg.dict_max_card_frac
+            and card < (1 << max(w - 1, 1))):
+        candidates.append(lambda a: _dict_int_frame(a, cfg))
+
+    if len(candidates) > 1 and arr.size > cfg.sample_values:
+        sample = arr[: cfg.sample_values]
+        sizes = [len(c(sample)) for c in candidates[:2]]
+        best = candidates[int(np.argmin(sizes))]
+    else:
+        best = candidates[0]
+    frame = best(arr)
+    if cfg.use_zstd and allow_zstd:
+        frame = _zstd_wrap(frame, cfg)
+    return frame
+
+
+# --------------------------------------------------------------------------
+# string plane: DICT / FSST / PLAIN bytes (+ZSTD)
+# --------------------------------------------------------------------------
+
+
+def _string_planes(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Arrow string array → (lengths int64, flat utf8 bytes uint8)."""
+    arr = arr.cast(pa.large_string()) if pa.types.is_string(arr.type) else arr
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int64,
+                            count=len(arr) + 1, offset=arr.offset * 8)
+    lengths = np.diff(offsets)
+    databuf = arr.buffers()[2]
+    data = (np.frombuffer(databuf, dtype=np.uint8,
+                          count=int(offsets[-1]) - int(offsets[0]),
+                          offset=int(offsets[0]))
+            if databuf is not None and offsets[-1] > offsets[0]
+            else np.empty(0, dtype=np.uint8))
+    return lengths.astype(np.int64), data
+
+
+def _bytes_frame(data: np.ndarray) -> bytes:
+    return _frame(PLAIN, data.size, struct.pack("<B", _DTYPE_CODE[np.dtype("uint8")])
+                  + data.tobytes())
+
+
+def _fsst_frame(data: np.ndarray, lengths: np.ndarray, cfg: EncodeConfig) -> bytes:
+    from plc import fsst
+
+    table, codes, code_lens = fsst.fsst_encode(data, lengths)
+    lens_frame = encode_int_plane(code_lens.astype(np.int64), cfg, allow_zstd=False)
+    body = struct.pack("<I", len(table)) + table + \
+        struct.pack("<I", len(lens_frame)) + lens_frame + codes.tobytes()
+    return _frame(FSST, lengths.size, body)
+
+
+def _string_frame(lengths: np.ndarray, data: np.ndarray, cfg: EncodeConfig,
+                  *, allow_zstd: bool = True) -> bytes:
+    lens_frame = encode_int_plane(lengths, cfg, allow_zstd=False)
+    data_frame = _bytes_frame(data)
+    if cfg.use_fsst and data.size >= 64:
+        try:
+            fs = _fsst_frame(data, lengths, cfg)
+            if len(fs) < len(data_frame):
+                data_frame = fs
+        except ImportError:
+            pass
+    frame = _frame(STRING, lengths.size, lens_frame + data_frame)
+    if cfg.use_zstd and allow_zstd:
+        frame = _zstd_wrap(frame, cfg)
+    return frame
+
+
+def encode_string_plane(arr: pa.Array, cfg: EncodeConfig) -> bytes:
+    """K11 for strings: DICT when low-cardinality wins, else FSST vs PLAIN."""
+    n = len(arr)
+    if n == 0:
+        return _frame(STRING, 0, encode_int_plane(np.empty(0, np.int64), cfg)
+                      + _bytes_frame(np.empty(0, np.uint8)))
+    if cfg.use_dict:
+        sample = arr.slice(0, min(n, cfg.sample_values))
+        import pyarrow.compute as pc
+
+        card = pc.count_distinct(sample).as_py()
+        if card <= len(sample) * cfg.dict_max_card_frac:
+            enc = arr.combine_chunks().dictionary_encode() if isinstance(
+                arr, pa.ChunkedArray) else arr.dictionary_encode()
+            dict_vals = enc.dictionary
+            idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            dlens, ddata = _string_planes(dict_vals)
+            vals_frame = _string_frame(dlens, ddata, cfg, allow_zstd=False)
+            idx_frame = encode_int_plane(idx, cfg, allow_dict=False,
+                                         allow_zstd=False)
+            frame = _frame(DICT, n, vals_frame + idx_frame)
+            return _zstd_wrap(frame, cfg) if cfg.use_zstd else frame
+    lengths, data = _string_planes(arr)
+    return _string_frame(lengths, data, cfg)
+
+
+# --------------------------------------------------------------------------
+# list<int32> plane (tokens): lengths + flat values
+# --------------------------------------------------------------------------
+
+
+def encode_list_plane(arr: pa.Array, cfg: EncodeConfig) -> bytes:
+    arr = arr.cast(pa.large_list(pa.int32()))
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int64,
+                            count=len(arr) + 1, offset=arr.offset * 8)
+    lengths = np.diff(offsets).astype(np.int64)
+    flat = arr.flatten()
+    values = flat.to_numpy(zero_copy_only=False).astype(np.int32, copy=False)
+    lens_frame = encode_int_plane(lengths, cfg)
+    vals_frame = encode_int_plane(values, cfg)
+    return _frame(LIST32, len(arr), lens_frame + vals_frame)
+
+
+# --------------------------------------------------------------------------
+# decode (K14): exact inverses
+# --------------------------------------------------------------------------
+
+
+def decode_frame(buf: memoryview, pos: int = 0):
+    """Decode one frame at ``pos``; returns (value, end_pos). Value is a
+    numpy array for numeric planes, ``pa.Array`` for STRING/LIST32."""
+    codec, n, blen, body = _frame_header(buf, pos)
+    end = body + blen
+    if codec == PLAIN:
+        (dt_code,) = struct.unpack_from("<B", buf, body)
+        dt = _DTYPES[dt_code]
+        return np.frombuffer(buf, dtype=dt, count=n, offset=body + 1).copy(), end
+    if codec in (FOR, RLE):
+        ref, w, dt_code = struct.unpack_from("<qBB", buf, body)
+        payload = buf[body + 10 : end]
+        fn = K.for_decode if codec == FOR else K.rle_for_decode
+        return fn(ref, w, payload, n, _DTYPES[dt_code]), end
+    if codec == DICT:
+        values, p2 = decode_frame(buf, body)
+        idx, _ = decode_frame(buf, p2)
+        idx = np.asarray(idx, dtype=np.int64)
+        if isinstance(values, pa.Array):
+            return values.take(pa.array(idx)), end
+        return values[idx], end
+    if codec == ZSTD:
+        (raw_len,) = struct.unpack_from("<Q", buf, body)
+        inner = pa.Codec("zstd").decompress(bytes(buf[body + 8 : end]), raw_len,
+                                            asbytes=True)
+        val, _ = decode_frame(memoryview(inner), 0)
+        return val, end
+    if codec == STRING:
+        lengths, p2 = decode_frame(buf, body)
+        inner_codec = buf[p2]
+        if inner_codec == FSST:
+            data = _decode_fsst_frame(buf, p2)
+        else:
+            data, _ = decode_frame(buf, p2)
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lengths, out=offsets[1:])
+        arr = pa.Array.from_buffers(
+            pa.large_utf8(), n, [None, pa.py_buffer(offsets.tobytes()),
+                                 pa.py_buffer(np.asarray(data, np.uint8).tobytes())])
+        return arr.cast(pa.string()), end
+    if codec == LIST32:
+        lengths, p2 = decode_frame(buf, body)
+        values, _ = decode_frame(buf, p2)
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lengths, out=offsets[1:])
+        arr = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()),
+            pa.array(np.asarray(values, np.int32), pa.int32()))
+        return arr.cast(pa.list_(pa.int32())), end
+    if codec == FSST:
+        return _decode_fsst_frame(buf, pos - 0), end  # pragma: no cover
+    if codec == NULLS:
+        validity, p2 = decode_frame(buf, body)
+        values, _ = decode_frame(buf, p2)
+        mask = np.asarray(validity, dtype=np.uint64).astype(bool)
+        if isinstance(values, pa.Array):
+            return pa.array(
+                values.to_pandas().where(mask, None), type=values.type), end
+        return pa.array(np.asarray(values), mask=~mask), end
+    raise ValueError(f"unknown codec id {codec}")
+
+
+def _decode_fsst_frame(buf: memoryview, pos: int) -> np.ndarray:
+    from plc import fsst
+
+    codec, n, blen, body = _frame_header(buf, pos)
+    assert codec == FSST
+    (tlen,) = struct.unpack_from("<I", buf, body)
+    table = bytes(buf[body + 4 : body + 4 + tlen])
+    p = body + 4 + tlen
+    (lflen,) = struct.unpack_from("<I", buf, p)
+    code_lens, _ = decode_frame(buf, p + 4)
+    codes = np.frombuffer(buf, np.uint8, offset=p + 4 + lflen,
+                          count=body + blen - (p + 4 + lflen))
+    return fsst.fsst_decode(table, codes, np.asarray(code_lens, np.int64))
+
+
+# --------------------------------------------------------------------------
+# chunk pack / unpack (K13)
+# --------------------------------------------------------------------------
+
+COLTYPE_ENCODERS = {
+    "int32": lambda col, cfg: encode_int_plane(
+        col.to_numpy(zero_copy_only=False).astype(np.int32, copy=False), cfg),
+    "int64": lambda col, cfg: encode_int_plane(
+        col.to_numpy(zero_copy_only=False).astype(np.int64, copy=False), cfg),
+    "double": lambda col, cfg: encode_int_plane(
+        col.to_numpy(zero_copy_only=False).astype(np.float64, copy=False), cfg),
+    "string": encode_string_plane,
+    "list<item: int32>": encode_list_plane,
+}
+
+
+def _coltype_name(typ: pa.DataType) -> str:
+    if pa.types.is_list(typ) or pa.types.is_large_list(typ):
+        return "list<item: int32>"
+    if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+        return "string"
+    if pa.types.is_float64(typ):
+        return "double"
+    return str(typ)
+
+
+def pack_chunk(batch: pa.RecordBatch, cfg: EncodeConfig) -> tuple[bytes, dict]:
+    """Encode every column of ``batch`` into one self-describing blob.
+
+    Returns (blob, per-column codec names for the lineage manifest).
+    """
+    out = bytearray()
+    out += MAGIC
+    out += struct.pack("<BIB", VERSION, batch.num_rows, batch.num_columns)
+    codecs = {}
+    for name, col in zip(batch.schema.names, batch.columns):
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if col.null_count > 0:
+            frame = _encode_with_nulls(col, cfg)
+        else:
+            enc = COLTYPE_ENCODERS.get(_coltype_name(col.type))
+            if enc is None:
+                raise TypeError(f"unsupported column type {col.type} for {name!r}")
+            frame = enc(col, cfg)
+        nb = name.encode()
+        out += struct.pack("<H", len(nb)) + nb
+        out += struct.pack("<QI", len(frame), zlib.crc32(frame))
+        out += frame
+        codecs[name] = CODEC_NAMES[frame[0]]
+    return bytes(out), codecs
+
+
+def _encode_with_nulls(col: pa.Array, cfg: EncodeConfig) -> bytes:
+    mask = ~np.asarray(col.is_null())
+    filled = col.fill_null(
+        "" if pa.types.is_string(col.type) else 0) if not pa.types.is_list(
+        col.type) else col.fill_null([])
+    enc = COLTYPE_ENCODERS[_coltype_name(col.type)]
+    validity_frame = encode_int_plane(mask.astype(np.int64), cfg,
+                                      allow_zstd=False)
+    return _frame(NULLS, len(col), validity_frame + enc(filled, cfg))
+
+
+def unpack_chunk(blob: bytes | memoryview) -> pa.RecordBatch:
+    """Inverse of :func:`pack_chunk` — bit-identical round trip (the
+    reference's correctness contract, BASELINE.json north_star)."""
+    buf = memoryview(blob)
+    assert bytes(buf[:4]) == MAGIC, "bad chunk magic"
+    version, n_rows, ncols = struct.unpack_from("<BIB", buf, 4)
+    pos = 4 + 6
+    names, arrays = [], []
+    for _ in range(ncols):
+        (nlen,) = struct.unpack_from("<H", buf, pos)
+        name = bytes(buf[pos + 2 : pos + 2 + nlen]).decode()
+        pos += 2 + nlen
+        flen, crc = struct.unpack_from("<QI", buf, pos)
+        pos += 12
+        frame = buf[pos : pos + flen]
+        if zlib.crc32(frame) != crc:
+            raise IOError(f"chunk crc mismatch for column {name!r}")
+        val, _ = decode_frame(frame, 0)
+        if isinstance(val, np.ndarray):
+            val = pa.array(val)
+        names.append(name)
+        arrays.append(val)
+        pos += flen
+    return pa.RecordBatch.from_arrays(arrays, names=names)

@@ -1,0 +1,298 @@
+"""K6: FSST string-symbol-table compression (SURVEY.md §2 K6).
+
+Implements the algorithm of Boncz, Neumann, Leis, "FSST: Fast Random Access
+String Compression", PVLDB 13(11), 2020 — named as a required capability in
+BASELINE.json north_rule. A ≤255-entry table of 1-8-byte symbols is learned
+bottom-up from a sample (≤5 generations, gain = frequency × length); encoding
+is greedy longest-match emitting 1-byte codes, with code 255 as the escape
+marker followed by one literal byte. Symbols never cross string boundaries,
+preserving per-string random access.
+
+Vectorization strategy (no per-row Python, BASELINE.json input_hint):
+- matching: for each symbol length L, an 8-byte-window → uint64 key is
+  computed for every position at once and looked up via ``np.searchsorted``;
+- the greedy walk advances all strings in lockstep — one vectorized gather
+  per step, loop length = max symbols per string, not total symbols;
+- decode parses escape units the same lockstep way.
+
+Training runs on a ≤16 KiB sample in plain Python (paper §4 samples the
+input precisely so training cost is O(sample), not O(data)).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+ESCAPE = 255
+MAX_SYM_LEN = 8
+MAX_SYMBOLS = 255  # codes 0..254; 255 reserved for escape
+GENERATIONS = 5
+SAMPLE_TARGET = 16 << 10
+
+
+class SymbolTable:
+    """Learned table: ``syms[i]`` is the byte string for code ``i``."""
+
+    def __init__(self, syms: list[bytes]):
+        assert len(syms) <= MAX_SYMBOLS
+        self.syms = syms
+        self.sym_len = np.array([len(s) for s in syms] + [1], dtype=np.int64)
+        # (n+1, 8) byte matrix; last row is a placeholder for the escape code
+        mat = np.zeros((len(syms) + 1, MAX_SYM_LEN), dtype=np.uint8)
+        for i, s in enumerate(syms):
+            mat[i, : len(s)] = np.frombuffer(s, np.uint8)
+        self.sym_mat = mat
+        # per-length sorted key arrays for vectorized lookup
+        self.by_len: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        for length in range(1, MAX_SYM_LEN + 1):
+            items = [(self._key(s), i) for i, s in enumerate(syms) if len(s) == length]
+            if items:
+                items.sort()
+                keys = np.array([k for k, _ in items], dtype=np.uint64)
+                codes = np.array([c for _, c in items], dtype=np.uint8)
+                self.by_len[length] = (keys, codes)
+
+    @staticmethod
+    def _key(s: bytes) -> int:
+        k = 0
+        for j, b in enumerate(s):
+            k |= b << (8 * j)
+        return k
+
+    def serialize(self) -> bytes:
+        out = bytearray([len(self.syms)])
+        out.extend(len(s) for s in self.syms)
+        for s in self.syms:
+            out.extend(s)
+        return bytes(out)
+
+    @classmethod
+    def deserialize(cls, blob: bytes) -> "SymbolTable":
+        n = blob[0]
+        lens = blob[1 : 1 + n]
+        syms, pos = [], 1 + n
+        for ln in lens:
+            syms.append(bytes(blob[pos : pos + ln]))
+            pos += ln
+        return cls(syms)
+
+
+# --------------------------------------------------------------------------
+# training (paper §3-4: bottom-up generations on a sample)
+# --------------------------------------------------------------------------
+
+
+def train(data: np.ndarray, lengths: np.ndarray) -> SymbolTable:
+    """Learn a symbol table from a sample of the concatenated string plane."""
+    sample_strs = _take_sample(data, lengths)
+    syms: list[bytes] = []
+    for _ in range(GENERATIONS):
+        count1: dict[bytes, int] = {}
+        count2: dict[tuple[bytes, bytes], int] = {}
+        table = {s: None for s in syms}
+        for s in sample_strs:
+            prev = None
+            i, n = 0, len(s)
+            while i < n:
+                m = None
+                for ln in range(min(MAX_SYM_LEN, n - i), 0, -1):
+                    cand = s[i : i + ln]
+                    if cand in table:
+                        m = cand
+                        break
+                if m is None:
+                    m = s[i : i + 1]  # escaped byte = pseudo-symbol candidate
+                count1[m] = count1.get(m, 0) + 1
+                if prev is not None and len(prev) + len(m) <= MAX_SYM_LEN:
+                    count2[(prev, m)] = count2.get((prev, m), 0) + 1
+                prev = m
+                i += len(m)
+        gains: dict[bytes, int] = {}
+        for s, c in count1.items():
+            gains[s] = max(gains.get(s, 0), c * len(s))
+        for (a, b), c in count2.items():
+            merged = a + b
+            gains[merged] = max(gains.get(merged, 0), c * len(merged))
+        syms = [s for s, _ in sorted(gains.items(), key=lambda kv: -kv[1])[:MAX_SYMBOLS]]
+    return SymbolTable(syms)
+
+
+def _take_sample(data: np.ndarray, lengths: np.ndarray) -> list[bytes]:
+    if data.size == 0:
+        return []
+    offsets = np.zeros(lengths.size + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    raw = data.tobytes()
+    total, out = 0, []
+    stride = max(1, int(lengths.size * np.mean(lengths) // SAMPLE_TARGET)) \
+        if np.mean(lengths) > 0 else 1
+    for i in range(0, lengths.size, stride):
+        s = raw[offsets[i] : offsets[i + 1]]
+        out.append(s)
+        total += len(s)
+        if total >= SAMPLE_TARGET:
+            break
+    return out
+
+
+# --------------------------------------------------------------------------
+# vectorized encode
+# --------------------------------------------------------------------------
+
+
+def _window_keys(data: np.ndarray, max_len: int) -> np.ndarray:
+    """keys[i] = little-endian uint64 of data[i:i+8] (zero-padded at tail)."""
+    n = data.size
+    padded = np.zeros(n + MAX_SYM_LEN, dtype=np.uint8)
+    padded[:n] = data
+    keys = np.zeros(n, dtype=np.uint64)
+    for j in range(max_len):
+        keys |= padded[j : j + n].astype(np.uint64) << np.uint64(8 * j)
+    return keys
+
+
+def _match(table: SymbolTable, data: np.ndarray, row_end: np.ndarray):
+    """Greedy longest-match per position (vectorized over all positions).
+
+    Returns (code uint8[n], match_len int64[n]); unmatched positions get the
+    escape marker with match_len 1.
+    """
+    n = data.size
+    code = np.full(n, ESCAPE, dtype=np.uint8)
+    mlen = np.ones(n, dtype=np.int64)
+    if n == 0:
+        return code, mlen
+    max_len = max(self_len for self_len in table.by_len) if table.by_len else 0
+    if max_len == 0:
+        return code, mlen
+    keys = _window_keys(data, max_len)
+    remaining = row_end - np.arange(n)
+    matched = np.zeros(n, dtype=bool)
+    for length in range(max_len, 0, -1):
+        if length not in table.by_len:
+            continue
+        skeys, scodes = table.by_len[length]
+        lkeys = keys & np.uint64((1 << (8 * length)) - 1) if length < 8 else keys
+        idx = np.searchsorted(skeys, lkeys)
+        idx[idx >= skeys.size] = 0
+        hit = (skeys[idx] == lkeys) & (remaining >= length) & ~matched
+        code[hit] = scodes[idx[hit]]
+        mlen[hit] = length
+        matched |= hit
+    return code, mlen
+
+
+def fsst_encode(data: np.ndarray, lengths: np.ndarray,
+                table: SymbolTable | None = None):
+    """Encode the concatenated byte plane of a string column.
+
+    Returns (table_blob, codes uint8[], code_lens int64[n_strings]) where
+    ``code_lens[i]`` is the encoded byte count of string i.
+    """
+    data = np.asarray(data, dtype=np.uint8)
+    lengths = np.asarray(lengths, dtype=np.int64)
+    if table is None:
+        table = train(data, lengths)
+    nrows = lengths.size
+    offsets = np.zeros(nrows + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    row_end = np.repeat(offsets[1:], lengths) if data.size else np.empty(0, np.int64)
+    code, mlen = _match(table, data, row_end)
+
+    # lockstep greedy walk: all rows advance one symbol per iteration
+    pos = offsets[:-1].copy()
+    ends = offsets[1:]
+    step_codes: list[np.ndarray] = []   # per step: code per row (masked later)
+    step_valid: list[np.ndarray] = []
+    step_pos: list[np.ndarray] = []
+    active = pos < ends
+    while active.any():
+        cur = np.where(active, pos, 0)
+        step_codes.append(np.where(active, code[cur], 0).astype(np.uint8))
+        step_valid.append(active.copy())
+        step_pos.append(cur)
+        pos = pos + np.where(active, mlen[cur], 0)
+        active = pos < ends
+    if not step_codes:
+        return table.serialize(), np.empty(0, np.uint8), np.zeros(nrows, np.int64)
+
+    codes_mat = np.stack(step_codes, axis=1)      # (nrows, nsteps)
+    valid_mat = np.stack(step_valid, axis=1)
+    pos_mat = np.stack(step_pos, axis=1)
+    flat_codes = codes_mat[valid_mat]             # row-major emission order
+    is_escape = flat_codes == ESCAPE
+    out_len = np.where(is_escape, 2, 1)
+    out_off = np.zeros(flat_codes.size + 1, dtype=np.int64)
+    np.cumsum(out_len, out=out_off[1:])
+    out = np.empty(out_off[-1], dtype=np.uint8)
+    out[out_off[:-1]] = flat_codes
+    if is_escape.any():
+        # escape unit = [255, literal]: literal is the original byte
+        flat_pos = pos_mat[valid_mat]
+        out[out_off[:-1][is_escape] + 1] = data[flat_pos[is_escape]]
+    # encoded length per row = sum of out_len per row
+    lens_mat = np.zeros_like(codes_mat, dtype=np.int64)
+    lens_mat[valid_mat] = out_len
+    code_lens = lens_mat.sum(axis=1)
+    return table.serialize(), out, code_lens
+
+
+# --------------------------------------------------------------------------
+# vectorized decode
+# --------------------------------------------------------------------------
+
+
+def fsst_decode(table_blob: bytes, codes: np.ndarray,
+                code_lens: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`fsst_encode`: returns the concatenated byte plane.
+    Original string lengths are recovered by the caller from the STRING
+    frame; this returns the flat uint8 data."""
+    table = SymbolTable.deserialize(bytes(table_blob))
+    codes = np.asarray(codes, dtype=np.uint8)
+    code_lens = np.asarray(code_lens, dtype=np.int64)
+    nrows = code_lens.size
+    offsets = np.zeros(nrows + 1, dtype=np.int64)
+    np.cumsum(code_lens, out=offsets[1:])
+    # lockstep unit parse: unit = [ESC, lit] (2 bytes) or [code] (1 byte)
+    pos = offsets[:-1].copy()
+    ends = offsets[1:]
+    unit_codes: list[np.ndarray] = []
+    unit_valid: list[np.ndarray] = []
+    unit_lits: list[np.ndarray] = []
+    active = pos < ends
+    while active.any():
+        cur = np.where(active, pos, 0)
+        c = np.where(active, codes[cur], 0).astype(np.uint8)
+        esc = (c == ESCAPE) & active
+        lit_idx = np.where(esc, np.minimum(cur + 1, codes.size - 1), 0)
+        unit_codes.append(c)
+        unit_valid.append(active.copy())
+        unit_lits.append(np.where(esc, codes[lit_idx], 0).astype(np.uint8))
+        pos = pos + np.where(active, np.where(esc & active, 2, 1), 0)
+        active = pos < ends
+    if not unit_codes:
+        return np.empty(0, np.uint8)
+    cmat = np.stack(unit_codes, axis=1)
+    vmat = np.stack(unit_valid, axis=1)
+    lmat = np.stack(unit_lits, axis=1)
+    flat_c = cmat[vmat]
+    flat_l = lmat[vmat]
+    esc = flat_c == ESCAPE
+    out_len = np.where(esc, 1, table.sym_len[np.minimum(flat_c, len(table.syms))])
+    # gather: non-escape units copy sym_len bytes from sym_mat rows
+    out_off = np.zeros(flat_c.size + 1, dtype=np.int64)
+    np.cumsum(out_len, out=out_off[1:])
+    out = np.empty(out_off[-1], dtype=np.uint8)
+    # escape literals
+    if esc.any():
+        out[out_off[:-1][esc]] = flat_l[esc]
+    nz = ~esc
+    if nz.any():
+        rows = table.sym_mat[flat_c[nz]]                  # (m, 8)
+        lens = out_len[nz]
+        sel = np.arange(MAX_SYM_LEN)[None, :] < lens[:, None]
+        out_positions = out_off[:-1][nz]
+        # positions for each emitted byte
+        byte_pos = (out_positions[:, None] + np.arange(MAX_SYM_LEN)[None, :])[sel]
+        out[byte_pos] = rows[sel]
+    return out

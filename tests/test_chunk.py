@@ -1,0 +1,127 @@
+"""Chunk container round-trip tests: pack_chunk → unpack_chunk bit-identical
+across every FIXTURES.md §1 value regime (SURVEY.md §5.2.1)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from plc.chunk import EncodeConfig, pack_chunk, unpack_chunk
+
+RNG = np.random.default_rng(42)
+CFG = EncodeConfig()
+
+
+def _tokens_batch(tokens_rows, n=None):
+    n = n or len(tokens_rows)
+    return pa.RecordBatch.from_pydict({
+        "doc_id": pa.array([f"doc-{i:012d}" for i in range(n)], pa.string()),
+        "tokens": pa.array(tokens_rows, pa.list_(pa.int32())),
+        "n_tok": pa.array([len(t) for t in tokens_rows], pa.int32()),
+        "source": pa.array(
+            np.array(["web", "books", "code", "wiki"])[RNG.integers(0, 4, n)]),
+    })
+
+
+def _assert_roundtrip(batch, cfg=CFG):
+    blob, codecs = pack_chunk(batch, cfg)
+    out = unpack_chunk(blob)
+    assert out.num_rows == batch.num_rows
+    for name in batch.schema.names:
+        a, b = batch.column(name), out.column(name)
+        assert a.cast(b.type).equals(b), f"column {name} mismatch"
+    return len(blob), codecs
+
+
+@pytest.mark.parametrize("regime", [
+    "uniform", "zipf", "small-range", "runs", "constant", "empty-edge", "skew",
+])
+def test_tokens_regimes(regime):
+    n = 500
+    if regime == "uniform":
+        rows = [RNG.integers(0, 50257, k).astype(np.int32).tolist()
+                for k in RNG.integers(10, 200, n)]
+    elif regime == "zipf":
+        rows = [np.minimum(RNG.zipf(1.5, k), 50256).astype(np.int32).tolist()
+                for k in RNG.integers(10, 200, n)]
+    elif regime == "small-range":
+        rows = [RNG.integers(1000, 1255, k).astype(np.int32).tolist()
+                for k in RNG.integers(10, 200, n)]
+    elif regime == "runs":
+        rows = [np.sort(RNG.integers(0, 50, k)).astype(np.int32).tolist()
+                for k in RNG.integers(10, 200, n)]
+    elif regime == "constant":
+        rows = [[7] * int(k) for k in RNG.integers(1, 50, n)]
+    elif regime == "empty-edge":
+        rows = [[], [1], [], [2**31 - 1, -(2**31)], []]
+    else:  # skew
+        rows = [[5] * (32768 if i == 0 else 8) for i in range(n)]
+    batch = _tokens_batch(rows)
+    enc_bytes, codecs = _assert_roundtrip(batch)
+    raw = sum(len(r) for r in rows) * 4
+    if regime in ("runs", "constant", "small-range"):
+        assert enc_bytes < max(raw, 1), f"{regime}: {enc_bytes} vs raw {raw}"
+
+
+def test_codec_selection_sanity():
+    # constant column → rle; vocab ints → for/zstd; low-card strings → dict
+    rows = [np.sort(RNG.integers(0, 30, 50)).astype(np.int32).tolist()
+            for _ in range(400)]
+    blob, codecs = pack_chunk(_tokens_batch(rows), CFG)
+    assert set(codecs) == {"doc_id", "tokens", "n_tok", "source"}
+    assert codecs["source"] in ("dict", "zstd")
+
+
+def test_width_sweep_boundaries():
+    for w in range(1, 32):
+        vals = [0, (1 << w) - 1, 1 << (w - 1)]
+        batch = _tokens_batch([np.array(vals, np.int32).tolist() for _ in range(40)])
+        _assert_roundtrip(batch)
+
+
+def test_nulls_int_and_string():
+    batch = pa.RecordBatch.from_pydict({
+        "a": pa.array([1, None, 3, None, 5], pa.int32()),
+        "s": pa.array(["x", None, "z", "", None], pa.string()),
+        "f": pa.array([1.5, None, 3.25, float("nan"), 0.0], pa.float64()),
+    })
+    blob, _ = pack_chunk(batch, CFG)
+    out = unpack_chunk(blob)
+    assert out.column("a").to_pylist() == [1, None, 3, None, 5]
+    assert out.column("s").to_pylist() == ["x", None, "z", "", None]
+    got_f = out.column("f").to_pylist()
+    assert got_f[0] == 1.5 and got_f[1] is None and np.isnan(got_f[3])
+
+
+def test_float_and_int64_columns():
+    batch = pa.RecordBatch.from_pydict({
+        "k": pa.array(RNG.integers(0, 2**40, 300), pa.int64()),
+        "v": pa.array(RNG.random(300), pa.float64()),
+    })
+    _assert_roundtrip(batch)
+
+
+def test_crc_detects_corruption():
+    blob, _ = pack_chunk(_tokens_batch([[1, 2, 3]] * 10), CFG)
+    bad = bytearray(blob)
+    bad[-3] ^= 0xFF
+    with pytest.raises(IOError):
+        unpack_chunk(bytes(bad))
+
+
+def test_empty_batch():
+    batch = _tokens_batch([])
+    _assert_roundtrip(batch)
+
+
+def test_fsst_wins_on_long_doc_ids():
+    # unique long ids with shared structure: dict can't win, FSST should
+    n = 2000
+    batch = pa.RecordBatch.from_pydict({
+        "doc_id": pa.array([f"corpus/shard-{i % 7}/doc-{i:016d}.txt"
+                            for i in range(n)])})
+    cfg = EncodeConfig(use_zstd=False)
+    blob, codecs = pack_chunk(batch, cfg)
+    out = unpack_chunk(blob)
+    assert out.column("doc_id").to_pylist() == batch.column("doc_id").to_pylist()
+    raw = sum(len(f"corpus/shard-{i % 7}/doc-{i:016d}.txt") for i in range(n))
+    assert len(blob) < raw * 0.75, f"{len(blob)} vs {raw}"
