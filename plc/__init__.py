@@ -9,3 +9,15 @@ the encoding — zero per-row Python. See SURVEY.md for the blueprint.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):  # lazy: keep kernel imports pyspark-free
+    if name in ("encode", "decode", "verify", "build_plan", "PipelineConfig"):
+        from plc import pipeline
+
+        return getattr(pipeline, name)
+    if name == "EncodeConfig":
+        from plc.chunk import EncodeConfig
+
+        return EncodeConfig
+    raise AttributeError(name)

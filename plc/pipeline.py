@@ -1,0 +1,390 @@
+"""Distributed encode/decode pipeline (SURVEY.md §2 P1-P7, §3 E1-E3).
+
+Spark-first layering per BASELINE.json north_rule:
+- *planning* is DataFrame-declarative: stats pre-pass (sampled quantiles),
+  explicit range partitioning by ``doc_id`` via ``repartitionByRange``,
+  salt-based skew splitting for long-token-array stragglers;
+- *encoding* is Arrow-vectorized: one ``mapInArrow`` stage running the
+  chunk/codec kernels (plc.chunk) on whole RecordBatches — zero per-row
+  Python in the hot path;
+- *operational state* is per-partition lineage manifests written after the
+  data (commit-last), so interrupted runs resume from the last committed
+  partition via an anti-join (P6) and re-encodes are idempotent
+  (dynamic partition overwrite of ``part_id=`` directories).
+
+Scale notes (designed for ~100 TB / 1000 executors, tested on local[32]):
+- one shuffle total (the range repartition); everything after is map-side;
+- partition count: aim for ~256-512 MB of raw tokens per logical part —
+  pass ``num_partitions`` explicitly or let the sampled row count choose;
+- the range shuffle uses Spark's RangePartitioner (JVM, sampled bounds);
+  our own persisted bounds give *deterministic* resume identity, and are
+  applied vectorized (np.searchsorted) inside the encoder, not per row;
+- skewed rows (n_tok > τ = q0.999) get dedicated straggler partitions,
+  salted by crc32(doc_id) — AQE skew handling does not cover mapInArrow
+  stages, so the salt is explicit;
+- decode prunes chunks on manifest min/max doc_id (plain filters → parquet
+  row-group skipping; no custom Catalyst rule needed).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import zlib
+from dataclasses import dataclass, field
+from functools import reduce
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StructType
+
+from plc.chunk import EncodeConfig, pack_chunk, unpack_chunk
+
+ENC_SCHEMA_DDL = (
+    "part_id int, chunk_idx int, n_rows bigint, n_tokens bigint, "
+    "raw_bytes bigint, enc_bytes bigint, min_doc_id string, max_doc_id string, "
+    "codecs string, payload binary"
+)
+_ENC_ARROW_SCHEMA = pa.schema([
+    ("part_id", pa.int32()), ("chunk_idx", pa.int32()), ("n_rows", pa.int64()),
+    ("n_tokens", pa.int64()), ("raw_bytes", pa.int64()), ("enc_bytes", pa.int64()),
+    ("min_doc_id", pa.string()), ("max_doc_id", pa.string()),
+    ("codecs", pa.string()), ("payload", pa.binary()),
+])
+
+
+@dataclass
+class PipelineConfig:
+    """Knobs for the distributed layer; codec knobs live in EncodeConfig."""
+
+    codec: EncodeConfig = field(default_factory=EncodeConfig)
+    num_partitions: int | None = None     # logical range parts (None → auto)
+    straggler_parts: int = 4              # k salted parts for skewed rows
+    skew_quantile: float = 0.999          # τ = q(n_tok, this)
+    max_chunk_values: int = 1 << 22       # split chunks above ~4M tokens
+    bounds_sample: int = 100_000          # doc_ids sampled for range bounds
+    sort_within: bool = True              # sortWithinPartitions for run wins
+
+
+# --------------------------------------------------------------------------
+# plan: stats pre-pass → persisted, deterministic partition plan
+# --------------------------------------------------------------------------
+
+
+def _plan_path(dst: str) -> str:
+    return os.path.join(dst, "_manifest", "plan.json")
+
+
+def _manifest_path(dst: str) -> str:
+    return os.path.join(dst, "_manifest", "parts")
+
+
+def _data_path(dst: str) -> str:
+    return os.path.join(dst, "data")
+
+
+def build_plan(spark: SparkSession, df: DataFrame, cfg: PipelineConfig) -> dict:
+    """Stats pre-pass (P2/P3 planning): sampled range bounds on doc_id plus
+    the straggler threshold τ. One sampled scan; all driver-side state is
+    O(num_partitions)."""
+    total = df.count()  # parquet sources answer this from footer metadata
+    n_parts = cfg.num_partitions or max(8, min(1024, total // 250_000 + 1))
+    frac = min(1.0, cfg.bounds_sample / max(total, 1))
+    sample = [r[0] for r in df.select("doc_id").sample(frac, seed=42).collect()]
+    sample.sort()
+    bounds = []
+    if len(sample) >= n_parts > 1:
+        step = len(sample) / n_parts
+        bounds = sorted({sample[int(i * step)] for i in range(1, n_parts)})
+    tau = 2**31 - 1
+    if cfg.straggler_parts > 0:
+        q = df.stat.approxQuantile("n_tok", [cfg.skew_quantile], 0.001)
+        if q:
+            tau = int(q[0])
+    return {
+        "n_parts": len(bounds) + 1,
+        "bounds": bounds,
+        "tau": tau,
+        "straggler_parts": cfg.straggler_parts,
+        "total_rows": total,
+        "schema": df.schema.jsonValue(),
+    }
+
+
+def _load_plan(dst: str) -> dict:
+    with open(_plan_path(dst)) as f:
+        return json.load(f)
+
+
+# --------------------------------------------------------------------------
+# encoder (runs in executors inside mapInArrow)
+# --------------------------------------------------------------------------
+
+
+def _make_encoder(plan: dict, cfg: PipelineConfig):
+    bounds = np.array(plan["bounds"], dtype=str)
+    tau = plan["tau"]
+    n_parts = plan["n_parts"]
+    k = plan["straggler_parts"]
+    codec_cfg = cfg.codec
+    max_vals = cfg.max_chunk_values
+
+    def encode_batches(batches):
+        chunk_idx = 0
+        for batch in batches:
+            docs = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            n_tok = batch.column("n_tok").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            part = (np.searchsorted(bounds, docs.astype(str), side="right")
+                    if bounds.size else np.zeros(len(docs), np.int64))
+            if k > 0:
+                straggler = n_tok > tau
+                if straggler.any():
+                    # crc32 salt matches the JVM-side F.crc32 used on resume
+                    salts = np.fromiter(
+                        (zlib.crc32(d.encode()) % k for d in docs[straggler]),
+                        dtype=np.int64, count=int(straggler.sum()))
+                    part[straggler] = n_parts + salts
+            # group rows by part id (sorted within partition → contiguous)
+            order = np.argsort(part, kind="stable")
+            if not np.array_equal(order, np.arange(order.size)):
+                batch = batch.take(pa.array(order))
+                docs, n_tok, part = docs[order], n_tok[order], part[order]
+            cuts = np.flatnonzero(np.diff(part)) + 1
+            for lo, hi in zip(np.r_[0, cuts], np.r_[cuts, len(part)]):
+                lo, hi = int(lo), int(hi)
+                if hi <= lo:
+                    continue
+                pid = int(part[lo])
+                # split oversized groups so chunk memory stays bounded
+                cum = np.cumsum(n_tok[lo:hi])
+                splits = [lo]
+                while splits[-1] < hi:
+                    base = cum[splits[-1] - lo - 1] if splits[-1] > lo else 0
+                    nxt = int(np.searchsorted(cum, base + max_vals)) + lo + 1
+                    splits.append(min(max(nxt, splits[-1] + 1), hi))
+                for s, e in zip(splits[:-1], splits[1:]):
+                    sub = batch.slice(s, e - s)
+                    blob, codecs = pack_chunk(sub, codec_cfg)
+                    toks = int(n_tok[s:e].sum())
+                    raw = toks * 4  # raw token bytes: the throughput denominator
+                    yield pa.RecordBatch.from_arrays([
+                        pa.array([pid], pa.int32()),
+                        pa.array([chunk_idx], pa.int32()),
+                        pa.array([e - s], pa.int64()),
+                        pa.array([toks], pa.int64()),
+                        pa.array([raw], pa.int64()),
+                        pa.array([len(blob)], pa.int64()),
+                        pa.array([str(docs[s:e].min())], pa.string()),
+                        pa.array([str(docs[s:e].max())], pa.string()),
+                        pa.array([json.dumps(codecs)], pa.string()),
+                        pa.array([blob], pa.binary()),
+                    ], schema=_ENC_ARROW_SCHEMA)
+                    chunk_idx += 1
+
+    return encode_batches
+
+
+# --------------------------------------------------------------------------
+# E1: encode
+# --------------------------------------------------------------------------
+
+
+def _salted_key(plan: dict):
+    """Physical range key: doc_id, except stragglers go to '~'-prefixed
+    buckets (sort after ASCII ids) salted by crc32 — P3 skew splitting."""
+    tau, k = plan["tau"], plan["straggler_parts"]
+    if k <= 0:
+        return F.col("doc_id")
+    salt = F.pmod(F.crc32(F.col("doc_id").cast("binary")), F.lit(k))
+    return F.when(F.col("n_tok") > tau,
+                  F.concat(F.lit("~"), F.lpad(salt.cast("string"), 6, "0"),
+                           F.col("doc_id"))).otherwise(F.col("doc_id"))
+
+
+def _pending_predicate(plan: dict, committed: set[int]):
+    """P6 resume: SQL predicate selecting rows of uncommitted parts only.
+    Normal parts become doc_id range predicates (parquet row-group skippable);
+    straggler parts become (n_tok > τ AND crc32 salt ∈ pending)."""
+    bounds, tau = plan["bounds"], plan["tau"]
+    n_parts, k = plan["n_parts"], plan["straggler_parts"]
+    preds = []
+    pending_normal = [i for i in range(n_parts) if i not in committed]
+    not_straggler = (F.col("n_tok") <= tau) if k > 0 else F.lit(True)
+    # merge consecutive part ids into single range predicates
+    runs: list[list[int]] = []
+    for i in pending_normal:
+        if runs and runs[-1][1] == i - 1:
+            runs[-1][1] = i
+        else:
+            runs.append([i, i])
+    for lo, hi in runs:
+        p = not_straggler
+        if lo > 0:
+            p = p & (F.col("doc_id") >= bounds[lo - 1])
+        if hi < n_parts - 1:
+            p = p & (F.col("doc_id") < bounds[hi])
+        preds.append(p)
+    pending_stragglers = [j for j in range(k) if n_parts + j not in committed]
+    if pending_stragglers and k > 0:
+        salt = F.pmod(F.crc32(F.col("doc_id").cast("binary")), F.lit(k))
+        preds.append((F.col("n_tok") > tau) & salt.isin(pending_stragglers))
+    if not preds:
+        return F.lit(False)
+    return reduce(lambda a, b: a | b, preds)
+
+
+def encode(spark: SparkSession, df: DataFrame, dst: str,
+           cfg: PipelineConfig | None = None, *, resume: bool = False,
+           mode: str = "error") -> dict:
+    """E1 flagship entry: encode ``df`` (doc_id/tokens/n_tok/source shape)
+    into ``dst`` with per-partition lineage manifests. Returns a report.
+
+    Lifecycle: plan (stats pre-pass) → range shuffle on salted doc_id →
+    mapInArrow encode → parquet sink (dynamic partition overwrite on
+    part_id → idempotent) → manifest append (the commit point).
+    """
+    cfg = cfg or PipelineConfig()
+    from plc.util import ensure_shipped
+
+    ensure_shipped(spark)
+    if "n_tok" not in df.columns and "tokens" in df.columns:
+        df = df.withColumn("n_tok", F.size("tokens"))
+
+    manifest_exists = os.path.exists(_manifest_path(dst)) and any(
+        f.endswith(".parquet") for f in os.listdir(_manifest_path(dst)))
+    if manifest_exists and not resume:
+        if mode == "overwrite":
+            shutil.rmtree(dst)
+            manifest_exists = False
+        else:
+            raise FileExistsError(
+                f"{dst} already has a manifest; pass resume=True or "
+                f"mode='overwrite'")
+    os.makedirs(os.path.join(dst, "_manifest"), exist_ok=True)
+
+    if resume and os.path.exists(_plan_path(dst)):
+        plan = _load_plan(dst)
+    else:
+        plan = build_plan(spark, df, cfg)
+        with open(_plan_path(dst), "w") as f:
+            json.dump(plan, f)
+
+    committed: set[int] = set()
+    if resume and manifest_exists:
+        committed = {r[0] for r in
+                     spark.read.parquet(_manifest_path(dst))
+                     .select("part_id").distinct().collect()}
+        df = df.filter(_pending_predicate(plan, committed))
+
+    total_parts = plan["n_parts"] + plan["straggler_parts"]
+    pending_parts = total_parts - len(committed)
+    if pending_parts <= 0:
+        return _report(spark, dst, plan, newly_encoded=0)
+
+    skey = _salted_key(plan)
+    shuffled = (df.withColumn("_skey", skey)
+                  .repartitionByRange(total_parts, "_skey"))
+    if cfg.sort_within:
+        shuffled = shuffled.sortWithinPartitions("_skey")
+    shuffled = shuffled.drop("_skey")
+
+    enc = shuffled.mapInArrow(_make_encoder(plan, cfg), ENC_SCHEMA_DDL)
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (enc.write.partitionBy("part_id").mode("overwrite")
+        .option("compression", "uncompressed").parquet(_data_path(dst)))
+
+    # manifest (commit point — written after the data, per part)
+    written = spark.read.parquet(_data_path(dst))
+    man = (written.groupBy("part_id")
+           .agg(F.count("*").alias("n_chunks"),
+                F.sum("n_rows").alias("n_rows"),
+                F.sum("n_tokens").alias("n_tokens"),
+                F.sum("raw_bytes").alias("raw_bytes"),
+                F.sum("enc_bytes").alias("enc_bytes"),
+                F.min("min_doc_id").alias("min_doc_id"),
+                F.max("max_doc_id").alias("max_doc_id")))
+    if committed:
+        man = man.filter(~F.col("part_id").isin(list(committed)))
+    man.write.mode("append").parquet(_manifest_path(dst))
+    return _report(spark, dst, plan, newly_encoded=pending_parts)
+
+
+def _report(spark: SparkSession, dst: str, plan: dict, newly_encoded: int) -> dict:
+    man = spark.read.parquet(_manifest_path(dst))
+    agg = man.agg(F.count("*").alias("parts"), F.sum("n_rows").alias("rows"),
+                  F.sum("n_tokens").alias("tokens"),
+                  F.sum("raw_bytes").alias("raw_bytes"),
+                  F.sum("enc_bytes").alias("enc_bytes")).collect()[0]
+    raw = agg["raw_bytes"] or 0
+    enc_b = agg["enc_bytes"] or 1
+    return {
+        "n_parts": plan["n_parts"] + plan["straggler_parts"],
+        "committed_parts": agg["parts"], "newly_encoded": newly_encoded,
+        "rows": agg["rows"], "tokens": agg["tokens"],
+        "raw_bytes": raw, "enc_bytes": enc_b,
+        "ratio": raw / enc_b if enc_b else 0.0,
+    }
+
+
+# --------------------------------------------------------------------------
+# E2: decode + verify
+# --------------------------------------------------------------------------
+
+
+def decode(spark: SparkSession, dst: str, *, doc_id_min: str | None = None,
+           doc_id_max: str | None = None) -> DataFrame:
+    """Read encoded chunks back as the original table. Only committed parts
+    are read (manifest semi-join); doc_id bounds prune chunks via the
+    min/max manifest columns (plain filter → parquet row-group skipping)."""
+    from plc.util import ensure_shipped
+
+    ensure_shipped(spark)
+    plan = _load_plan(dst)
+    schema = StructType.fromJson(plan["schema"])
+    committed = spark.read.parquet(_manifest_path(dst)).select("part_id")
+    enc = spark.read.parquet(_data_path(dst))
+    enc = enc.join(F.broadcast(committed), "part_id", "left_semi")
+    if doc_id_min is not None:
+        enc = enc.filter(F.col("max_doc_id") >= doc_id_min)
+    if doc_id_max is not None:
+        enc = enc.filter(F.col("min_doc_id") <= doc_id_max)
+
+    names = [f.name for f in schema.fields]
+
+    def decode_batches(batches):
+        for batch in batches:
+            payloads = batch.column("payload")
+            for i in range(batch.num_rows):
+                rb = unpack_chunk(payloads[i].as_buffer())
+                yield rb.select(names)
+
+    out = enc.select("payload").mapInArrow(decode_batches, schema)
+    if doc_id_min is not None:
+        out = out.filter(F.col("doc_id") >= doc_id_min)
+    if doc_id_max is not None:
+        out = out.filter(F.col("doc_id") <= doc_id_max)
+    return out
+
+
+def verify(spark: SparkSession, src: DataFrame, dst: str) -> dict:
+    """P7: per-row token-array equality between source and decoded output
+    (BASELINE.json: 'token-array equality per row'), via a doc_id equi-join.
+    Returns mismatch/missing counts (all must be 0) plus byte totals."""
+    dec = decode(spark, dst)
+    cols = [c for c in src.columns if c in dec.columns]
+    s = src.select(*cols).alias("s")
+    d = dec.select(*cols).alias("d")
+    j = s.join(d, F.col("s.doc_id") == F.col("d.doc_id"), "full_outer")
+    eq = reduce(lambda a, b: a & b,
+                [F.col(f"s.{c}").eqNullSafe(F.col(f"d.{c}")) for c in cols])
+    bad = j.filter(~eq).count()
+    man = spark.read.parquet(_manifest_path(dst))
+    sums = man.agg(F.sum("raw_bytes"), F.sum("enc_bytes")).collect()[0]
+    return {"mismatches": bad, "rows_source": src.count(),
+            "rows_decoded": dec.count(),
+            "raw_bytes": sums[0], "enc_bytes": sums[1]}

@@ -1,0 +1,142 @@
+"""End-to-end pipeline tests (SURVEY.md §5.2.3): encode → decode → per-row
+token-array equality, manifest completeness, pruning, resume idempotency."""
+
+import json
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from plc import data as D
+from plc.pipeline import (PipelineConfig, build_plan, decode, encode, verify,
+                          _manifest_path, _pending_predicate, _load_plan)
+
+
+@pytest.fixture(scope="module")
+def src_df(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("src") / "tokens.parquet")
+    D.synth_tokens_parquet(p, 2000, regime="zipf", seed=42)
+    return spark.read.parquet(p)
+
+
+def _dst():
+    return tempfile.mkdtemp(prefix="plc_enc_")
+
+
+def test_encode_decode_verify(spark, src_df):
+    dst = _dst()
+    try:
+        cfg = PipelineConfig(num_partitions=6, straggler_parts=2)
+        report = encode(spark, src_df, dst, cfg, mode="overwrite")
+        assert report["rows"] == 2000
+        assert report["ratio"] > 1.5, report
+        res = verify(spark, src_df, dst)
+        assert res["mismatches"] == 0
+        assert res["rows_decoded"] == res["rows_source"] == 2000
+    finally:
+        shutil.rmtree(dst, ignore_errors=True)
+
+
+def test_decode_pruning(spark, src_df):
+    dst = _dst()
+    try:
+        cfg = PipelineConfig(num_partitions=6, straggler_parts=0)
+        encode(spark, src_df, dst, cfg, mode="overwrite")
+        lo, hi = "doc-000000000100", "doc-000000000199"
+        out = decode(spark, dst, doc_id_min=lo, doc_id_max=hi)
+        rows = out.select("doc_id").collect()
+        assert len(rows) == 100
+        assert all(lo <= r[0] <= hi for r in rows)
+    finally:
+        shutil.rmtree(dst, ignore_errors=True)
+
+
+def test_resume_after_partial_run(spark, src_df):
+    """Kill-after-k-partitions simulation: commit only part of the manifest,
+    resume, and check no duplicates and full coverage (SURVEY.md E3)."""
+    dst = _dst()
+    try:
+        cfg = PipelineConfig(num_partitions=6, straggler_parts=2)
+        encode(spark, src_df, dst, cfg, mode="overwrite")
+        full = verify(spark, src_df, dst)
+        assert full["mismatches"] == 0
+
+        # simulate a crash: drop half the committed manifest rows
+        man = spark.read.parquet(_manifest_path(dst))
+        keep = man.filter("part_id % 2 = 0")
+        kept_ids = {r[0] for r in keep.select("part_id").collect()}
+        tmp_man = dst + "_manifest_tmp"
+        keep.write.mode("overwrite").parquet(tmp_man)
+        shutil.rmtree(_manifest_path(dst))
+        shutil.move(tmp_man, _manifest_path(dst))
+
+        report = encode(spark, src_df, dst, cfg, resume=True)
+        res = verify(spark, src_df, dst)
+        assert res["mismatches"] == 0, "resume must not duplicate or lose rows"
+        assert res["rows_decoded"] == 2000
+        # previously committed parts must not be re-listed
+        man2 = spark.read.parquet(_manifest_path(dst))
+        ids = [r[0] for r in man2.select("part_id").collect()]
+        assert len(ids) == len(set(ids)), "duplicate manifest entries"
+        assert kept_ids <= set(ids)
+    finally:
+        shutil.rmtree(dst, ignore_errors=True)
+
+
+def test_resume_noop_when_complete(spark, src_df):
+    dst = _dst()
+    try:
+        cfg = PipelineConfig(num_partitions=4, straggler_parts=0)
+        encode(spark, src_df, dst, cfg, mode="overwrite")
+        r1 = json.dumps(verify(spark, src_df, dst), sort_keys=True, default=str)
+        encode(spark, src_df, dst, cfg, resume=True)
+        r2 = json.dumps(verify(spark, src_df, dst), sort_keys=True, default=str)
+        assert r1 == r2
+    finally:
+        shutil.rmtree(dst, ignore_errors=True)
+
+
+def test_fresh_encode_refuses_existing(spark, src_df):
+    dst = _dst()
+    try:
+        cfg = PipelineConfig(num_partitions=4, straggler_parts=0)
+        encode(spark, src_df, dst, cfg, mode="overwrite")
+        with pytest.raises(FileExistsError):
+            encode(spark, src_df, dst, cfg)
+    finally:
+        shutil.rmtree(dst, ignore_errors=True)
+
+
+def test_plan_determinism_and_pending_predicate(spark, src_df):
+    cfg = PipelineConfig(num_partitions=5, straggler_parts=2)
+    p1 = build_plan(spark, src_df, cfg)
+    p2 = build_plan(spark, src_df, cfg)
+    assert p1["bounds"] == p2["bounds"] and p1["tau"] == p2["tau"]
+    # predicate covering all parts selects every row
+    pred = _pending_predicate(p1, committed=set())
+    assert src_df.filter(pred).count() == src_df.count()
+    # committed everything → selects nothing
+    all_ids = set(range(p1["n_parts"] + p1["straggler_parts"]))
+    pred0 = _pending_predicate(p1, committed=all_ids)
+    assert src_df.filter(pred0).count() == 0
+
+
+def test_skew_splitting_assigns_straggler_parts(spark, tmp_path):
+    """Rows above τ must land in dedicated salted parts (P3)."""
+    p = str(tmp_path / "skew.parquet")
+    D.synth_tokens_parquet(p, 3000, regime="constant", seed=7)
+    df = spark.read.parquet(p)
+    dst = _dst()
+    try:
+        cfg = PipelineConfig(num_partitions=4, straggler_parts=3)
+        encode(spark, df, dst, cfg, mode="overwrite")
+        plan = _load_plan(dst)
+        man = spark.read.parquet(_manifest_path(dst))
+        straggler_rows = man.filter(f"part_id >= {plan['n_parts']}") \
+            .agg({"n_rows": "sum"}).collect()[0][0]
+        n_over = df.filter(f"n_tok > {plan['tau']}").count()
+        assert (straggler_rows or 0) == n_over
+        assert verify(spark, df, dst)["mismatches"] == 0
+    finally:
+        shutil.rmtree(dst, ignore_errors=True)
