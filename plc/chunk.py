@@ -159,16 +159,18 @@ def encode_int_plane(arr: np.ndarray, cfg: EncodeConfig, *, allow_dict: bool = T
             and card < (1 << max(w - 1, 1))):
         candidates.append(lambda a: _dict_int_frame(a, cfg))
 
+    wrap = (lambda f: _zstd_wrap(f, cfg)) if (cfg.use_zstd and allow_zstd) \
+        else (lambda f: f)
     if len(candidates) > 1 and arr.size > cfg.sample_values:
-        sample = arr[: cfg.sample_values]
-        sizes = [len(c(sample)) for c in candidates[:2]]
+        # try-top-2-keep-smallest on a contiguous sample, *including* the
+        # zstd wrap: general-purpose compression changes the ranking (zstd's
+        # entropy stage subsumes most of dict's win, without the table cost)
+        sample = arr[: cfg.sample_values * 4]
+        sizes = [len(wrap(c(sample))) for c in candidates[:2]]
         best = candidates[int(np.argmin(sizes))]
     else:
         best = candidates[0]
-    frame = best(arr)
-    if cfg.use_zstd and allow_zstd:
-        frame = _zstd_wrap(frame, cfg)
-    return frame
+    return wrap(best(arr))
 
 
 # --------------------------------------------------------------------------

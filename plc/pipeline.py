@@ -93,17 +93,16 @@ def build_plan(spark: SparkSession, df: DataFrame, cfg: PipelineConfig) -> dict:
     total = df.count()  # parquet sources answer this from footer metadata
     n_parts = cfg.num_partitions or max(8, min(1024, total // 250_000 + 1))
     frac = min(1.0, cfg.bounds_sample / max(total, 1))
-    sample = [r[0] for r in df.select("doc_id").sample(frac, seed=42).collect()]
-    sample.sort()
+    rows = df.select("doc_id", "n_tok").sample(frac, seed=42).collect()
+    sample = sorted(r[0] for r in rows)
     bounds = []
     if len(sample) >= n_parts > 1:
         step = len(sample) / n_parts
         bounds = sorted({sample[int(i * step)] for i in range(1, n_parts)})
     tau = 2**31 - 1
-    if cfg.straggler_parts > 0:
-        q = df.stat.approxQuantile("n_tok", [cfg.skew_quantile], 0.001)
-        if q:
-            tau = int(q[0])
+    if cfg.straggler_parts > 0 and rows:
+        tau = int(np.quantile(np.array([r[1] for r in rows], dtype=np.int64),
+                              cfg.skew_quantile, method="lower"))
     return {
         "n_parts": len(bounds) + 1,
         "bounds": bounds,
@@ -133,7 +132,44 @@ def _make_encoder(plan: dict, cfg: PipelineConfig):
     max_vals = cfg.max_chunk_values
 
     def encode_batches(batches):
+        # Accumulate incoming Arrow batches per logical part until the token
+        # cap is reached, so chunk size (and codec-table amortization) is
+        # independent of spark.sql.execution.arrow.maxRecordsPerBatch.
         chunk_idx = 0
+        buf: list[pa.RecordBatch] = []
+        buf_part = -1
+        buf_tokens = 0
+
+        def flush():
+            nonlocal buf, buf_tokens, chunk_idx
+            if not buf:
+                return None
+            big = (buf[0] if len(buf) == 1 else
+                   pa.Table.from_batches(buf).combine_chunks()
+                   .to_batches(max_chunksize=1 << 31)[0])
+            blob, codecs = pack_chunk(big, codec_cfg)
+            docs = big.column("doc_id")
+            toks = buf_tokens
+            import pyarrow.compute as pc
+
+            mm = pc.min_max(docs).as_py() if big.num_rows else \
+                {"min": "", "max": ""}
+            out = pa.RecordBatch.from_arrays([
+                pa.array([buf_part], pa.int32()),
+                pa.array([chunk_idx], pa.int32()),
+                pa.array([big.num_rows], pa.int64()),
+                pa.array([toks], pa.int64()),
+                pa.array([toks * 4], pa.int64()),  # raw token bytes
+                pa.array([len(blob)], pa.int64()),
+                pa.array([mm["min"]], pa.string()),
+                pa.array([mm["max"]], pa.string()),
+                pa.array([json.dumps(codecs)], pa.string()),
+                pa.array([blob], pa.binary()),
+            ], schema=_ENC_ARROW_SCHEMA)
+            chunk_idx += 1
+            buf, buf_tokens = [], 0
+            return out
+
         for batch in batches:
             docs = batch.column("doc_id").to_numpy(zero_copy_only=False)
             n_tok = batch.column("n_tok").to_numpy(zero_copy_only=False) \
@@ -152,38 +188,38 @@ def _make_encoder(plan: dict, cfg: PipelineConfig):
             order = np.argsort(part, kind="stable")
             if not np.array_equal(order, np.arange(order.size)):
                 batch = batch.take(pa.array(order))
-                docs, n_tok, part = docs[order], n_tok[order], part[order]
+                n_tok, part = n_tok[order], part[order]
             cuts = np.flatnonzero(np.diff(part)) + 1
             for lo, hi in zip(np.r_[0, cuts], np.r_[cuts, len(part)]):
                 lo, hi = int(lo), int(hi)
-                if hi <= lo:
-                    continue
                 pid = int(part[lo])
-                # split oversized groups so chunk memory stays bounded
-                cum = np.cumsum(n_tok[lo:hi])
-                splits = [lo]
-                while splits[-1] < hi:
-                    base = cum[splits[-1] - lo - 1] if splits[-1] > lo else 0
-                    nxt = int(np.searchsorted(cum, base + max_vals)) + lo + 1
-                    splits.append(min(max(nxt, splits[-1] + 1), hi))
-                for s, e in zip(splits[:-1], splits[1:]):
-                    sub = batch.slice(s, e - s)
-                    blob, codecs = pack_chunk(sub, codec_cfg)
-                    toks = int(n_tok[s:e].sum())
-                    raw = toks * 4  # raw token bytes: the throughput denominator
-                    yield pa.RecordBatch.from_arrays([
-                        pa.array([pid], pa.int32()),
-                        pa.array([chunk_idx], pa.int32()),
-                        pa.array([e - s], pa.int64()),
-                        pa.array([toks], pa.int64()),
-                        pa.array([raw], pa.int64()),
-                        pa.array([len(blob)], pa.int64()),
-                        pa.array([str(docs[s:e].min())], pa.string()),
-                        pa.array([str(docs[s:e].max())], pa.string()),
-                        pa.array([json.dumps(codecs)], pa.string()),
-                        pa.array([blob], pa.binary()),
-                    ], schema=_ENC_ARROW_SCHEMA)
-                    chunk_idx += 1
+                if buf and pid != buf_part:
+                    out = flush()
+                    if out is not None:
+                        yield out
+                buf_part = pid
+                # split the group so no chunk exceeds the token cap
+                s = lo
+                while s < hi:
+                    room = max_vals - buf_tokens
+                    cum = np.cumsum(n_tok[s:hi])
+                    take = int(np.searchsorted(cum, room, side="right"))
+                    take = max(take, 1 if buf_tokens == 0 else 0)
+                    if take == 0:
+                        out = flush()
+                        if out is not None:
+                            yield out
+                        continue
+                    buf.append(batch.slice(s, take))
+                    buf_tokens += int(cum[take - 1])
+                    s += take
+                    if buf_tokens >= max_vals:
+                        out = flush()
+                        if out is not None:
+                            yield out
+        out = flush()
+        if out is not None:
+            yield out
 
     return encode_batches
 
@@ -295,8 +331,12 @@ def encode(spark: SparkSession, df: DataFrame, dst: str,
     enc = shuffled.mapInArrow(_make_encoder(plan, cfg), ENC_SCHEMA_DDL)
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    import time
+
+    t0 = time.perf_counter()
     (enc.write.partitionBy("part_id").mode("overwrite")
         .option("compression", "uncompressed").parquet(_data_path(dst)))
+    data_path_sec = time.perf_counter() - t0
 
     # manifest (commit point — written after the data, per part)
     written = spark.read.parquet(_data_path(dst))
@@ -311,7 +351,9 @@ def encode(spark: SparkSession, df: DataFrame, dst: str,
     if committed:
         man = man.filter(~F.col("part_id").isin(list(committed)))
     man.write.mode("append").parquet(_manifest_path(dst))
-    return _report(spark, dst, plan, newly_encoded=pending_parts)
+    rep = _report(spark, dst, plan, newly_encoded=pending_parts)
+    rep["data_path_sec"] = round(data_path_sec, 3)  # scan+shuffle+encode+write
+    return rep
 
 
 def _report(spark: SparkSession, dst: str, plan: dict, newly_encoded: int) -> dict:
