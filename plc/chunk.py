@@ -53,6 +53,8 @@ class EncodeConfig:
     """Codec-selection knobs (K11). Defaults tuned on FIXTURES.md regimes."""
 
     zstd_level: int = 3
+    zstd_level_large: int = 9     # large planes amortize a slower level
+    zstd_large_threshold: int = 2 << 20
     zstd_min_gain: float = 0.96   # keep zstd wrap only if < 96% of inner size
     use_zstd: bool = True
     use_fsst: bool = True
@@ -111,7 +113,9 @@ def _dict_int_frame(arr: np.ndarray, cfg: EncodeConfig) -> bytes:
 
 
 def _zstd_wrap(inner: bytes, cfg: EncodeConfig) -> bytes:
-    codec = pa.Codec("zstd", compression_level=cfg.zstd_level)
+    level = (cfg.zstd_level_large if len(inner) >= cfg.zstd_large_threshold
+             else cfg.zstd_level)
+    codec = pa.Codec("zstd", compression_level=level)
     comp = codec.compress(inner, asbytes=True)
     if len(comp) >= len(inner) * cfg.zstd_min_gain:
         return inner
@@ -215,7 +219,12 @@ def _string_frame(lengths: np.ndarray, data: np.ndarray, cfg: EncodeConfig,
     if cfg.use_fsst and data.size >= 64:
         try:
             fs = _fsst_frame(data, lengths, cfg)
-            if len(fs) < len(data_frame):
+            # compare *after* the zstd wrap: zstd on raw bytes often beats
+            # zstd on FSST codes (FSST removes the regularity zstd exploits)
+            if cfg.use_zstd and allow_zstd:
+                if len(_zstd_wrap(fs, cfg)) < len(_zstd_wrap(data_frame, cfg)):
+                    data_frame = fs
+            elif len(fs) < len(data_frame):
                 data_frame = fs
         except ImportError:
             pass
@@ -413,9 +422,14 @@ def _encode_with_nulls(col: pa.Array, cfg: EncodeConfig) -> bytes:
     return _frame(NULLS, len(col), validity_frame + enc(filled, cfg))
 
 
-def unpack_chunk(blob: bytes | memoryview) -> pa.RecordBatch:
+def unpack_chunk(blob: bytes | memoryview,
+                 columns: list[str] | None = None) -> pa.RecordBatch:
     """Inverse of :func:`pack_chunk` — bit-identical round trip (the
-    reference's correctness contract, BASELINE.json north_star)."""
+    reference's correctness contract, BASELINE.json north_star).
+
+    ``columns`` prunes at the storage level: frames for unrequested columns
+    are *skipped by length* without decoding — the columnar-read win the
+    reference format exists for (SURVEY.md §2 Part B, projection row)."""
     buf = memoryview(blob)
     assert bytes(buf[:4]) == MAGIC, "bad chunk magic"
     version, n_rows, ncols = struct.unpack_from("<BIB", buf, 4)
@@ -427,6 +441,9 @@ def unpack_chunk(blob: bytes | memoryview) -> pa.RecordBatch:
         pos += 2 + nlen
         flen, crc = struct.unpack_from("<QI", buf, pos)
         pos += 12
+        if columns is not None and name not in columns:
+            pos += flen  # column pruning: skip without decode
+            continue
         frame = buf[pos : pos + flen]
         if zlib.crc32(frame) != crc:
             raise IOError(f"chunk crc mismatch for column {name!r}")

@@ -31,8 +31,9 @@ def synth_tokens_table(n_rows: int, regime: str = "zipf", seed: int = 42,
     elif regime == "small-range":
         flat = rng.integers(1000, 1255, total).astype(np.int32)
     elif regime == "runs":
-        flat = np.repeat(rng.integers(0, vocab, max(total // 16, 1)).astype(np.int32),
-                         16)[:total]
+        flat = np.repeat(
+            rng.integers(0, vocab, max((total + 15) // 16, 1)).astype(np.int32),
+            16)[:total]
     elif regime == "constant":
         flat = np.full(total, 7, dtype=np.int32)
     else:

@@ -379,10 +379,13 @@ def _report(spark: SparkSession, dst: str, plan: dict, newly_encoded: int) -> di
 
 
 def decode(spark: SparkSession, dst: str, *, doc_id_min: str | None = None,
-           doc_id_max: str | None = None) -> DataFrame:
+           doc_id_max: str | None = None,
+           columns: list[str] | None = None) -> DataFrame:
     """Read encoded chunks back as the original table. Only committed parts
     are read (manifest semi-join); doc_id bounds prune chunks via the
-    min/max manifest columns (plain filter → parquet row-group skipping)."""
+    min/max manifest columns (plain filter → parquet row-group skipping);
+    ``columns`` prunes at the storage level — unrequested column frames are
+    skipped by length inside the chunk, never decoded."""
     from plc.util import ensure_shipped
 
     ensure_shipped(spark)
@@ -396,37 +399,60 @@ def decode(spark: SparkSession, dst: str, *, doc_id_min: str | None = None,
     if doc_id_max is not None:
         enc = enc.filter(F.col("min_doc_id") <= doc_id_max)
 
+    if columns is not None:
+        schema = StructType([f for f in schema.fields if f.name in columns])
     names = [f.name for f in schema.fields]
 
     def decode_batches(batches):
         for batch in batches:
             payloads = batch.column("payload")
             for i in range(batch.num_rows):
-                rb = unpack_chunk(payloads[i].as_buffer())
+                rb = unpack_chunk(payloads[i].as_buffer(), columns=names)
                 yield rb.select(names)
 
     out = enc.select("payload").mapInArrow(decode_batches, schema)
-    if doc_id_min is not None:
+    if doc_id_min is not None and "doc_id" in names:
         out = out.filter(F.col("doc_id") >= doc_id_min)
-    if doc_id_max is not None:
+    if doc_id_max is not None and "doc_id" in names:
         out = out.filter(F.col("doc_id") <= doc_id_max)
     return out
 
 
-def verify(spark: SparkSession, src: DataFrame, dst: str) -> dict:
+def verify(spark: SparkSession, src: DataFrame, dst: str,
+           method: str = "join") -> dict:
     """P7: per-row token-array equality between source and decoded output
-    (BASELINE.json: 'token-array equality per row'), via a doc_id equi-join.
-    Returns mismatch/missing counts (all must be 0) plus byte totals."""
+    (BASELINE.json: 'token-array equality per row').
+
+    ``method="join"``: doc_id full-outer equi-join with per-column
+    eqNullSafe — exact, names the differing rows, but shuffles both sides.
+    ``method="checksum"``: order-insensitive xxhash64 row-checksum aggregate
+    on each side — no join shuffle at all (two scans + two tiny aggregates),
+    the method that scales to 10^12 rows. Both return mismatches == 0 on
+    success."""
     dec = decode(spark, dst)
     cols = [c for c in src.columns if c in dec.columns]
+    man = spark.read.parquet(_manifest_path(dst))
+    sums = man.agg(F.sum("raw_bytes"), F.sum("enc_bytes")).collect()[0]
+    base = {"raw_bytes": sums[0], "enc_bytes": sums[1]}
+    if method == "checksum":
+        def _sig(df):
+            # decimal(38,0) accumulation: n * 2^63 fits to ~10^18 rows
+            h = F.xxhash64(*cols).cast("decimal(38,0)")
+            row = df.agg(F.count("*").alias("n"),
+                         F.sum(h).alias("hsum"),
+                         F.sum(F.pmod(h, F.lit(999999937))).alias("hmod")
+                         ).collect()[0]
+            return (row["n"], row["hsum"], row["hmod"])
+
+        s_sig, d_sig = _sig(src.select(*cols)), _sig(dec.select(*cols))
+        return {**base, "mismatches": int(s_sig != d_sig),
+                "rows_source": s_sig[0], "rows_decoded": d_sig[0],
+                "method": "checksum"}
     s = src.select(*cols).alias("s")
     d = dec.select(*cols).alias("d")
     j = s.join(d, F.col("s.doc_id") == F.col("d.doc_id"), "full_outer")
     eq = reduce(lambda a, b: a & b,
                 [F.col(f"s.{c}").eqNullSafe(F.col(f"d.{c}")) for c in cols])
     bad = j.filter(~eq).count()
-    man = spark.read.parquet(_manifest_path(dst))
-    sums = man.agg(F.sum("raw_bytes"), F.sum("enc_bytes")).collect()[0]
-    return {"mismatches": bad, "rows_source": src.count(),
-            "rows_decoded": dec.count(),
-            "raw_bytes": sums[0], "enc_bytes": sums[1]}
+    return {**base, "mismatches": bad, "rows_source": src.count(),
+            "rows_decoded": dec.count(), "method": "join"}

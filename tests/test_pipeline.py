@@ -140,3 +140,28 @@ def test_skew_splitting_assigns_straggler_parts(spark, tmp_path):
         assert verify(spark, df, dst)["mismatches"] == 0
     finally:
         shutil.rmtree(dst, ignore_errors=True)
+
+
+def test_checksum_verify_and_column_pruned_decode(spark, src_df):
+    dst = _dst()
+    try:
+        cfg = PipelineConfig(num_partitions=4, straggler_parts=2)
+        encode(spark, src_df, dst, cfg, mode="overwrite")
+        res = verify(spark, src_df, dst, method="checksum")
+        assert res["mismatches"] == 0 and res["method"] == "checksum"
+        # column-pruned decode: only doc_id/n_tok frames are decoded
+        out = decode(spark, dst, columns=["doc_id", "n_tok"])
+        assert out.columns == ["doc_id", "n_tok"]
+        assert out.count() == 2000
+        tot = out.agg({"n_tok": "sum"}).collect()[0][0]
+        src_tot = src_df.agg({"n_tok": "sum"}).collect()[0][0]
+        assert tot == src_tot
+        # checksum verify must actually FAIL on corrupted data: flip a source row
+        from pyspark.sql import functions as F
+        bad_src = src_df.withColumn(
+            "n_tok", F.when(F.col("doc_id") == "doc-000000000000",
+                            F.col("n_tok") + 1).otherwise(F.col("n_tok")))
+        res_bad = verify(spark, bad_src, dst, method="checksum")
+        assert res_bad["mismatches"] == 1
+    finally:
+        shutil.rmtree(dst, ignore_errors=True)
