@@ -127,7 +127,7 @@ def main() -> None:
                PipelineConfig(num_partitions=n_parts, straggler_parts=4),
                mode="overwrite")
         t0 = time.perf_counter()
-        res = verify(spark, df, dst)
+        res = verify(spark, df, dst, method="checksum")
         timings["decode_verify"] = round(time.perf_counter() - t0, 3)
         assert res["mismatches"] == 0, res
         shutil.rmtree(dst, ignore_errors=True)

@@ -1,0 +1,101 @@
+"""spark-submit entry point (BASELINE.json north_star: "launched via
+spark-submit --py-files on multi-executor clusters").
+
+Usage (cluster):
+    zip -r plc.zip plc
+    spark-submit --py-files plc.zip -m plc.cli encode \
+        --src <iceberg-table-or-parquet> --dst <out> [--partitions N] ...
+
+Usage (local): python -m plc.cli encode --src ... --dst ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(args):
+    from pyspark.sql import SparkSession
+
+    b = SparkSession.builder.appName(f"plc-{args.cmd}")
+    if args.master:
+        b = b.master(args.master)
+    b = (b.config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                  str(args.arrow_batch))
+         .config("spark.sql.adaptive.enabled", "true"))
+    return b.getOrCreate()
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="plc")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def common(p):
+        p.add_argument("--master", default=None)
+        p.add_argument("--arrow-batch", type=int, default=32768)
+        p.add_argument("--dst", required=True)
+
+    p_enc = sub.add_parser("encode", help="E1: encode tokens table")
+    common(p_enc)
+    p_enc.add_argument("--src", required=True)
+    p_enc.add_argument("--format", default="auto",
+                       choices=["auto", "iceberg", "parquet"])
+    p_enc.add_argument("--partitions", type=int, default=None)
+    p_enc.add_argument("--straggler-parts", type=int, default=4)
+    p_enc.add_argument("--resume", action="store_true")
+    p_enc.add_argument("--overwrite", action="store_true")
+    p_enc.add_argument("--no-zstd", action="store_true")
+    p_enc.add_argument("--zstd-level", type=int, default=3)
+
+    p_dec = sub.add_parser("decode", help="E2: decode back to a table")
+    common(p_dec)
+    p_dec.add_argument("--out", required=True, help="output parquet path")
+    p_dec.add_argument("--columns", default=None,
+                       help="comma-separated column subset")
+    p_dec.add_argument("--doc-id-min", default=None)
+    p_dec.add_argument("--doc-id-max", default=None)
+
+    p_ver = sub.add_parser("verify", help="E2: round-trip verification")
+    common(p_ver)
+    p_ver.add_argument("--src", required=True)
+    p_ver.add_argument("--format", default="auto")
+    p_ver.add_argument("--method", default="checksum",
+                       choices=["checksum", "join"])
+
+    args = ap.parse_args(argv)
+    spark = _spark(args)
+    try:
+        from plc.chunk import EncodeConfig
+        from plc.pipeline import PipelineConfig, decode, encode, verify
+        from plc.sources import read_tokens
+
+        if args.cmd == "encode":
+            cfg = PipelineConfig(
+                num_partitions=args.partitions,
+                straggler_parts=args.straggler_parts,
+                codec=EncodeConfig(use_zstd=not args.no_zstd,
+                                   zstd_level=args.zstd_level))
+            df = read_tokens(spark, args.src, args.format)
+            rep = encode(spark, df, args.dst, cfg, resume=args.resume,
+                         mode="overwrite" if args.overwrite else "error")
+            print(json.dumps(rep))
+        elif args.cmd == "decode":
+            cols = args.columns.split(",") if args.columns else None
+            out = decode(spark, args.dst, doc_id_min=args.doc_id_min,
+                         doc_id_max=args.doc_id_max, columns=cols)
+            out.write.mode("overwrite").parquet(args.out)
+            print(json.dumps({"written": args.out}))
+        elif args.cmd == "verify":
+            df = read_tokens(spark, args.src, args.format)
+            res = verify(spark, df, args.dst, method=args.method)
+            print(json.dumps(res, default=str))
+            return 0 if res["mismatches"] == 0 else 1
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -125,3 +125,14 @@ def test_fsst_wins_on_long_doc_ids():
     assert out.column("doc_id").to_pylist() == batch.column("doc_id").to_pylist()
     raw = sum(len(f"corpus/shard-{i % 7}/doc-{i:016d}.txt") for i in range(n))
     assert len(blob) < raw * 0.75, f"{len(blob)} vs {raw}"
+
+
+def test_nulls_in_list_column():
+    batch = pa.RecordBatch.from_pydict({
+        "doc_id": pa.array(["a", "b", "c"]),
+        "tokens": pa.array([[1, 2], None, []], pa.list_(pa.int32())),
+    })
+    blob, codecs = pack_chunk(batch, CFG)
+    out = unpack_chunk(blob)
+    assert out.column("tokens").to_pylist() == [[1, 2], None, []]
+    assert codecs["tokens"] == "nulls"
