@@ -62,6 +62,7 @@ class EncodeConfig:
     rle_min_avg_run: float = 2.5  # avg run length above which RLE beats FOR
     dict_max_card_frac: float = 0.5
     sample_values: int = 4096     # try-top-2-keep-smallest sample size
+    fsst_cache: bool = True       # reuse trained tables across a column's chunks
     _fsst_cache: dict = field(default_factory=dict, repr=False)
 
 
@@ -205,7 +206,20 @@ def _bytes_frame(data: np.ndarray) -> bytes:
 def _fsst_frame(data: np.ndarray, lengths: np.ndarray, cfg: EncodeConfig) -> bytes:
     from plc import fsst
 
-    table, codes, code_lens = fsst.fsst_encode(data, lengths)
+    # Reuse the symbol table across chunks of the same column within a
+    # worker: training is the expensive step and the value distribution is
+    # stable across a column's chunks (escape bytes absorb drift). The
+    # table blob is stored per chunk, so decode never needs the cache.
+    tbl = None
+    key = getattr(cfg, "_current_col", None)
+    if cfg.fsst_cache and key is not None:
+        tbl = cfg._fsst_cache.get(key)
+    if tbl is None:
+        tbl = fsst.train(np.asarray(data, np.uint8),
+                         np.asarray(lengths, np.int64))
+        if cfg.fsst_cache and key is not None:
+            cfg._fsst_cache[key] = tbl
+    table, codes, code_lens = fsst.fsst_encode(data, lengths, table=tbl)
     lens_frame = encode_int_plane(code_lens.astype(np.int64), cfg, allow_zstd=False)
     body = struct.pack("<I", len(table)) + table + \
         struct.pack("<I", len(lens_frame)) + lens_frame + codes.tobytes()
@@ -395,6 +409,7 @@ def pack_chunk(batch: pa.RecordBatch, cfg: EncodeConfig) -> tuple[bytes, dict]:
     out += struct.pack("<BIB", VERSION, batch.num_rows, batch.num_columns)
     codecs = {}
     for name, col in zip(batch.schema.names, batch.columns):
+        cfg._current_col = name  # keys the per-column FSST table cache
         col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
         if col.null_count > 0:
             frame = _encode_with_nulls(col, cfg)

@@ -83,10 +83,13 @@ def bitpack(arr: np.ndarray, w: int) -> bytes:
         return b""
     if w in _BYTE_ALIGNED:
         return np.ascontiguousarray(arr.astype(_BYTE_ALIGNED[w], copy=False)).tobytes()
-    a = arr.astype(np.uint64, copy=False)
+    a = arr  # any unsigned dtype wide enough for w works; avoid widening
+    if a.dtype.kind != "u":
+        a = a.astype(np.uint64, copy=False)
+    shift_t = a.dtype.type
     bits = np.empty((n, w), dtype=np.uint8)
     for j in range(w):  # loop over bit positions (<=64), each pass vectorized over n
-        np.bitwise_and(a >> np.uint64(j), 1, out=bits[:, j], casting="unsafe")
+        np.bitwise_and(a >> shift_t(j), 1, out=bits[:, j], casting="unsafe")
     return np.packbits(bits.reshape(-1), bitorder="little").tobytes()
 
 
@@ -231,6 +234,14 @@ def for_encode(arr: np.ndarray) -> tuple[int, int, bytes]:
     int dtype; deltas = arr - min(arr) are non-negative."""
     if arr.size == 0:
         return 0, 0, b""
+    if arr.dtype == np.int32:
+        # int32 fast path: mod-2^32 subtraction is exact for any int32 range
+        # (true delta < 2^32), so no widening copy is needed
+        ref = int(arr.min())
+        hi = int(arr.max())
+        deltas = (arr - np.int32(ref)).view(np.uint32)
+        w = bits_needed(hi - ref)
+        return ref, w, bitpack(deltas, w)
     a = arr.astype(np.int64, copy=False)
     ref = int(a.min())
     deltas = (a - np.int64(ref)).view(np.uint64)  # non-negative by construction
