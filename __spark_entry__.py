@@ -180,6 +180,25 @@ def _embedding_norms(spark, sf):
             .orderBy("vec_id").limit(100))
 
 
+def _events_tumbling_count(spark, sf):
+    """Time-window batch aggregation over the events stream table
+    (SURVEY.md §2 Part B: streaming-looking queries are plain batch here)."""
+    ev = _t(spark, sf, "events")
+    return (ev.groupBy(F.window("ts", "1 hour").start.alias("bucket_start"))
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("total_value"))
+            .orderBy("bucket_start"))
+
+
+def _topk_orders(spark, sf):
+    """Sort/limit/top-k surface: highest-value orders, deterministic order."""
+    return (_t(spark, sf, "orders")
+            .select("o_orderkey",
+                    F.round("o_totalprice", 2).alias("price"),
+                    "o_orderpriority")
+            .orderBy(F.desc("price"), "o_orderkey").limit(25))
+
+
 def _encode_manifest(spark, sf):
     """Non-SQL: full pipeline on the sf's documents-derived tokens view;
     returns the lineage manifest (rows-only driver check)."""
@@ -224,6 +243,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partial_agg_rollup": _partial_agg_rollup,
         "broadcast_dim_join": _broadcast_dim_join,
         "embedding_norms": _embedding_norms,
+        "events_tumbling_count": _events_tumbling_count,
+        "topk_orders": _topk_orders,
         "encode_manifest": _encode_manifest,
         "roundtrip_check": _roundtrip_check,
     }
@@ -314,6 +335,17 @@ def oracle_sql() -> dict[str, str]:
                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4)
                        AS l2_norm
             FROM embeddings ORDER BY vec_id LIMIT 100
+        """,
+        "events_tumbling_count": """
+            SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket_start,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS total_value
+            FROM events GROUP BY bucket_start ORDER BY bucket_start
+        """,
+        "topk_orders": """
+            SELECT o_orderkey, round(o_totalprice, 2) AS price,
+                   o_orderpriority
+            FROM orders ORDER BY price DESC, o_orderkey LIMIT 25
         """,
         # encode_manifest / roundtrip_check: not SQL-expressible (custom
         # columnar codecs inside mapInArrow) → rows-only driver check.
