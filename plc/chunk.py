@@ -448,6 +448,9 @@ def unpack_chunk(blob: bytes | memoryview,
     buf = memoryview(blob)
     assert bytes(buf[:4]) == MAGIC, "bad chunk magic"
     version, n_rows, ncols = struct.unpack_from("<BIB", buf, 4)
+    if version > VERSION:
+        raise IOError(f"chunk written by a newer format version {version}; "
+                      f"this reader supports <= {VERSION}")
     pos = 4 + 6
     names, arrays = [], []
     for _ in range(ncols):

@@ -338,8 +338,10 @@ def encode(spark: SparkSession, df: DataFrame, dst: str,
         .option("compression", "uncompressed").parquet(_data_path(dst)))
     data_path_sec = time.perf_counter() - t0
 
-    # manifest (commit point — written after the data, per part)
-    written = spark.read.parquet(_data_path(dst))
+    # manifest (commit point — written after the data, per part).
+    # Explicit schema: an empty input writes zero part directories, which
+    # would otherwise fail parquet schema inference.
+    written = _read_enc(spark, dst)
     man = (written.groupBy("part_id")
            .agg(F.count("*").alias("n_chunks"),
                 F.sum("n_rows").alias("n_rows"),
@@ -378,6 +380,18 @@ def _report(spark: SparkSession, dst: str, plan: dict, newly_encoded: int) -> di
 # --------------------------------------------------------------------------
 
 
+def _read_enc(spark: SparkSession, dst: str) -> DataFrame:
+    """Read the encoded-chunk table; explicit schema when the data dir has
+    no part directories yet (empty input / nothing committed), where
+    parquet schema inference would fail."""
+    path = _data_path(dst)
+    if not os.path.exists(path) or not os.listdir(path):
+        return spark.read.schema(ENC_SCHEMA_DDL).parquet(path) \
+            if os.path.exists(path) else \
+            spark.createDataFrame([], ENC_SCHEMA_DDL)
+    return spark.read.parquet(path)
+
+
 def decode(spark: SparkSession, dst: str, *, doc_id_min: str | None = None,
            doc_id_max: str | None = None,
            columns: list[str] | None = None) -> DataFrame:
@@ -392,7 +406,7 @@ def decode(spark: SparkSession, dst: str, *, doc_id_min: str | None = None,
     plan = _load_plan(dst)
     schema = StructType.fromJson(plan["schema"])
     committed = spark.read.parquet(_manifest_path(dst)).select("part_id")
-    enc = spark.read.parquet(_data_path(dst))
+    enc = _read_enc(spark, dst)
     enc = enc.join(F.broadcast(committed), "part_id", "left_semi")
     if doc_id_min is not None:
         enc = enc.filter(F.col("max_doc_id") >= doc_id_min)

@@ -165,3 +165,19 @@ def test_checksum_verify_and_column_pruned_decode(spark, src_df):
         assert res_bad["mismatches"] == 1
     finally:
         shutil.rmtree(dst, ignore_errors=True)
+
+
+def test_empty_input_encode_decode(spark):
+    empty = spark.createDataFrame(
+        [], "doc_id string, tokens array<int>, n_tok int, source string")
+    dst = _dst()
+    try:
+        encode(spark, empty, dst,
+               PipelineConfig(num_partitions=2, straggler_parts=0),
+               mode="overwrite")
+        dec = decode(spark, dst)
+        assert dec.count() == 0
+        assert dec.columns == ["doc_id", "tokens", "n_tok", "source"]
+        assert verify(spark, empty, dst, method="checksum")["mismatches"] == 0
+    finally:
+        shutil.rmtree(dst, ignore_errors=True)
