@@ -63,6 +63,7 @@ class EncodeConfig:
     dict_max_card_frac: float = 0.5
     sample_values: int = 4096     # try-top-2-keep-smallest sample size
     fsst_cache: bool = True       # reuse trained tables across a column's chunks
+    fsst_max_avg_len: int = 512   # FSST targets short strings; long docs → zstd
     _fsst_cache: dict = field(default_factory=dict, repr=False)
 
 
@@ -132,7 +133,8 @@ def _int_stats(arr: np.ndarray, cfg: EncodeConfig):
     (single vectorized pass — also needed for the FOR reference).
     """
     n = arr.size
-    sample = arr[:: max(1, n // cfg.sample_values)][: cfg.sample_values]
+    step = -(-n // cfg.sample_values)  # ceil: stride spans the whole chunk
+    sample = arr[:: max(1, step)][: cfg.sample_values]
     card = np.unique(sample).size
     win = arr[: cfg.sample_values * 4]
     runs = K.run_count(win)
@@ -230,22 +232,22 @@ def _string_frame(lengths: np.ndarray, data: np.ndarray, cfg: EncodeConfig,
                   *, allow_zstd: bool = True) -> bytes:
     lens_frame = encode_int_plane(lengths, cfg, allow_zstd=False)
     data_frame = _bytes_frame(data)
-    if cfg.use_fsst and data.size >= 64:
+    avg_len = data.size / max(lengths.size, 1)
+    wrap = cfg.use_zstd and allow_zstd
+    best_wrapped = _zstd_wrap(data_frame, cfg) if wrap else data_frame
+    if cfg.use_fsst and data.size >= 64 and avg_len <= cfg.fsst_max_avg_len:
         try:
             fs = _fsst_frame(data, lengths, cfg)
             # compare *after* the zstd wrap: zstd on raw bytes often beats
             # zstd on FSST codes (FSST removes the regularity zstd exploits)
-            if cfg.use_zstd and allow_zstd:
-                if len(_zstd_wrap(fs, cfg)) < len(_zstd_wrap(data_frame, cfg)):
-                    data_frame = fs
-            elif len(fs) < len(data_frame):
-                data_frame = fs
+            cand = _zstd_wrap(fs, cfg) if wrap else fs
+            if len(cand) < len(best_wrapped):
+                best_wrapped = cand
         except ImportError:
             pass
-    frame = _frame(STRING, lengths.size, lens_frame + data_frame)
-    if cfg.use_zstd and allow_zstd:
-        frame = _zstd_wrap(frame, cfg)
-    return frame
+    # the data plane is already wrapped (or provably not worth wrapping), so
+    # the combined frame is not zstd'd again — the lengths plane is tiny
+    return _frame(STRING, lengths.size, lens_frame + best_wrapped)
 
 
 def encode_string_plane(arr: pa.Array, cfg: EncodeConfig) -> bytes:
@@ -330,8 +332,7 @@ def decode_frame(buf: memoryview, pos: int = 0):
             data = _decode_fsst_frame(buf, p2)
         else:
             data, _ = decode_frame(buf, p2)
-        offsets = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(lengths, out=offsets[1:])
+        offsets = K.offsets_from_lengths(np.asarray(lengths))
         arr = pa.Array.from_buffers(
             pa.large_utf8(), n, [None, pa.py_buffer(offsets.tobytes()),
                                  pa.py_buffer(np.asarray(data, np.uint8).tobytes())])
@@ -339,8 +340,7 @@ def decode_frame(buf: memoryview, pos: int = 0):
     if codec == LIST32:
         lengths, p2 = decode_frame(buf, body)
         values, _ = decode_frame(buf, p2)
-        offsets = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(lengths, out=offsets[1:])
+        offsets = K.offsets_from_lengths(np.asarray(lengths))
         arr = pa.LargeListArray.from_arrays(
             pa.array(offsets, pa.int64()),
             pa.array(np.asarray(values, np.int32), pa.int32()))
@@ -446,7 +446,8 @@ def unpack_chunk(blob: bytes | memoryview,
     are *skipped by length* without decoding — the columnar-read win the
     reference format exists for (SURVEY.md §2 Part B, projection row)."""
     buf = memoryview(blob)
-    assert bytes(buf[:4]) == MAGIC, "bad chunk magic"
+    if bytes(buf[:4]) != MAGIC:
+        raise IOError("bad chunk magic (payload is not a PLC1 chunk)")
     version, n_rows, ncols = struct.unpack_from("<BIB", buf, 4)
     if version > VERSION:
         raise IOError(f"chunk written by a newer format version {version}; "

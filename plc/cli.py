@@ -1,12 +1,13 @@
 """spark-submit entry point (BASELINE.json north_star: "launched via
 spark-submit --py-files on multi-executor clusters").
 
-Usage (cluster):
+Usage (cluster) — spark-submit takes a script path, not ``-m``::
+
     zip -r plc.zip plc
-    spark-submit --py-files plc.zip -m plc.cli encode \
+    spark-submit --py-files plc.zip plc/cli.py encode \
         --src <iceberg-table-or-parquet> --dst <out> [--partitions N] ...
 
-Usage (local): python -m plc.cli encode --src ... --dst ...
+Usage (local): ``python -m plc.cli encode --src ... --dst ...``
 """
 
 from __future__ import annotations

@@ -38,8 +38,9 @@ def synth_tokens_table(n_rows: int, regime: str = "zipf", seed: int = 42,
         flat = np.full(total, 7, dtype=np.int32)
     else:
         raise ValueError(f"unknown regime {regime!r}")
-    offsets = np.zeros(n_rows + 1, dtype=np.int64)
-    np.cumsum(n_tok, out=offsets[1:])
+    from plc.kernels import offsets_from_lengths
+
+    offsets = offsets_from_lengths(n_tok)
     tokens = pa.LargeListArray.from_arrays(pa.array(offsets), pa.array(flat)) \
         .cast(pa.list_(pa.int32()))
     return pa.table({

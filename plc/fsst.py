@@ -120,8 +120,9 @@ def train(data: np.ndarray, lengths: np.ndarray) -> SymbolTable:
 def _take_sample(data: np.ndarray, lengths: np.ndarray) -> list[bytes]:
     if data.size == 0:
         return []
-    offsets = np.zeros(lengths.size + 1, dtype=np.int64)
-    np.cumsum(lengths, out=offsets[1:])
+    from plc.kernels import offsets_from_lengths
+
+    offsets = offsets_from_lengths(lengths)
     raw = data.tobytes()
     total, out = 0, []
     stride = max(1, int(lengths.size * np.mean(lengths) // SAMPLE_TARGET)) \
@@ -193,33 +194,48 @@ def fsst_encode(data: np.ndarray, lengths: np.ndarray,
     lengths = np.asarray(lengths, dtype=np.int64)
     if table is None:
         table = train(data, lengths)
+    from plc.kernels import offsets_from_lengths
+
     nrows = lengths.size
-    offsets = np.zeros(nrows + 1, dtype=np.int64)
-    np.cumsum(lengths, out=offsets[1:])
+    offsets = offsets_from_lengths(lengths)
     row_end = np.repeat(offsets[1:], lengths) if data.size else np.empty(0, np.int64)
     code, mlen = _match(table, data, row_end)
 
-    # lockstep greedy walk: all rows advance one symbol per iteration
+    # Lockstep greedy walk with active-set compaction: each step gathers
+    # only rows that still have bytes left, so total work/memory is
+    # O(total emitted symbols) even when one string is far longer than the
+    # rest (a single skewed row no longer drags every row through its
+    # steps — that shape was an OOM-class blowup).
     pos = offsets[:-1].copy()
     ends = offsets[1:]
-    step_codes: list[np.ndarray] = []   # per step: code per row (masked later)
-    step_valid: list[np.ndarray] = []
-    step_pos: list[np.ndarray] = []
-    active = pos < ends
-    while active.any():
-        cur = np.where(active, pos, 0)
-        step_codes.append(np.where(active, code[cur], 0).astype(np.uint8))
-        step_valid.append(active.copy())
-        step_pos.append(cur)
-        pos = pos + np.where(active, mlen[cur], 0)
-        active = pos < ends
-    if not step_codes:
+    rows = np.arange(nrows, dtype=np.int64)
+    alive = pos < ends
+    pos, ends_a, rows_a = pos[alive], ends[alive], rows[alive]
+    em_rows: list[np.ndarray] = []   # row id per emission
+    em_steps: list[np.ndarray] = []  # step index per emission (for ordering)
+    em_codes: list[np.ndarray] = []
+    em_pos: list[np.ndarray] = []
+    step = 0
+    while pos.size:
+        em_rows.append(rows_a.copy())
+        em_steps.append(np.full(pos.size, step, dtype=np.int64))
+        em_codes.append(code[pos])
+        em_pos.append(pos.copy())
+        pos = pos + mlen[pos]
+        alive = pos < ends_a
+        if not alive.all():
+            pos, ends_a, rows_a = pos[alive], ends_a[alive], rows_a[alive]
+        step += 1
+    if not em_rows:
         return table.serialize(), np.empty(0, np.uint8), np.zeros(nrows, np.int64)
 
-    codes_mat = np.stack(step_codes, axis=1)      # (nrows, nsteps)
-    valid_mat = np.stack(step_valid, axis=1)
-    pos_mat = np.stack(step_pos, axis=1)
-    flat_codes = codes_mat[valid_mat]             # row-major emission order
+    r = np.concatenate(em_rows)
+    s = np.concatenate(em_steps)
+    flat_codes = np.concatenate(em_codes)
+    flat_pos = np.concatenate(em_pos)
+    # row-major, step-minor emission order
+    order = np.lexsort((s, r))
+    flat_codes, flat_pos, r = flat_codes[order], flat_pos[order], r[order]
     is_escape = flat_codes == ESCAPE
     out_len = np.where(is_escape, 2, 1)
     out_off = np.zeros(flat_codes.size + 1, dtype=np.int64)
@@ -228,12 +244,9 @@ def fsst_encode(data: np.ndarray, lengths: np.ndarray,
     out[out_off[:-1]] = flat_codes
     if is_escape.any():
         # escape unit = [255, literal]: literal is the original byte
-        flat_pos = pos_mat[valid_mat]
         out[out_off[:-1][is_escape] + 1] = data[flat_pos[is_escape]]
-    # encoded length per row = sum of out_len per row
-    lens_mat = np.zeros_like(codes_mat, dtype=np.int64)
-    lens_mat[valid_mat] = out_len
-    code_lens = lens_mat.sum(axis=1)
+    code_lens = np.zeros(nrows, dtype=np.int64)
+    np.add.at(code_lens, r, out_len)
     return table.serialize(), out, code_lens
 
 
@@ -250,33 +263,43 @@ def fsst_decode(table_blob: bytes, codes: np.ndarray,
     table = SymbolTable.deserialize(bytes(table_blob))
     codes = np.asarray(codes, dtype=np.uint8)
     code_lens = np.asarray(code_lens, dtype=np.int64)
+    from plc.kernels import offsets_from_lengths
+
     nrows = code_lens.size
-    offsets = np.zeros(nrows + 1, dtype=np.int64)
-    np.cumsum(code_lens, out=offsets[1:])
-    # lockstep unit parse: unit = [ESC, lit] (2 bytes) or [code] (1 byte)
+    offsets = offsets_from_lengths(code_lens)
+    # lockstep unit parse with active-set compaction (see fsst_encode):
+    # unit = [ESC, lit] (2 bytes) or [code] (1 byte)
     pos = offsets[:-1].copy()
     ends = offsets[1:]
-    unit_codes: list[np.ndarray] = []
-    unit_valid: list[np.ndarray] = []
-    unit_lits: list[np.ndarray] = []
-    active = pos < ends
-    while active.any():
-        cur = np.where(active, pos, 0)
-        c = np.where(active, codes[cur], 0).astype(np.uint8)
-        esc = (c == ESCAPE) & active
-        lit_idx = np.where(esc, np.minimum(cur + 1, codes.size - 1), 0)
-        unit_codes.append(c)
-        unit_valid.append(active.copy())
-        unit_lits.append(np.where(esc, codes[lit_idx], 0).astype(np.uint8))
-        pos = pos + np.where(active, np.where(esc & active, 2, 1), 0)
-        active = pos < ends
-    if not unit_codes:
+    rows = np.arange(nrows, dtype=np.int64)
+    alive = pos < ends
+    pos, ends_a, rows_a = pos[alive], ends[alive], rows[alive]
+    u_rows: list[np.ndarray] = []
+    u_steps: list[np.ndarray] = []
+    u_codes: list[np.ndarray] = []
+    u_lits: list[np.ndarray] = []
+    step = 0
+    while pos.size:
+        c = codes[pos]
+        esc = c == ESCAPE
+        lit_idx = np.where(esc, np.minimum(pos + 1, codes.size - 1), 0)
+        u_rows.append(rows_a.copy())
+        u_steps.append(np.full(pos.size, step, dtype=np.int64))
+        u_codes.append(c)
+        u_lits.append(np.where(esc, codes[lit_idx], 0).astype(np.uint8))
+        pos = pos + np.where(esc, 2, 1)
+        alive = pos < ends_a
+        if not alive.all():
+            pos, ends_a, rows_a = pos[alive], ends_a[alive], rows_a[alive]
+        step += 1
+    if not u_codes:
         return np.empty(0, np.uint8)
-    cmat = np.stack(unit_codes, axis=1)
-    vmat = np.stack(unit_valid, axis=1)
-    lmat = np.stack(unit_lits, axis=1)
-    flat_c = cmat[vmat]
-    flat_l = lmat[vmat]
+    r = np.concatenate(u_rows)
+    s = np.concatenate(u_steps)
+    flat_c = np.concatenate(u_codes)
+    flat_l = np.concatenate(u_lits)
+    order = np.lexsort((s, r))
+    flat_c, flat_l = flat_c[order], flat_l[order]
     esc = flat_c == ESCAPE
     out_len = np.where(esc, 1, table.sym_len[np.minimum(flat_c, len(table.syms))])
     # gather: non-escape units copy sym_len bytes from sym_mat rows

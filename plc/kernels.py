@@ -275,6 +275,13 @@ def rle_for_decode(ref: int, w: int, buf, n: int, dtype=np.int64) -> np.ndarray:
 # --------------------------------------------------------------------------
 
 
+def offsets_from_lengths(lengths: np.ndarray) -> np.ndarray:
+    """int64[n+1] offsets with offsets[0] == 0 (shared by list/string planes)."""
+    offsets = np.zeros(lengths.size + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    return offsets
+
+
 def run_count(arr: np.ndarray) -> int:
     """Number of equal-value runs (vectorized)."""
     if arr.size == 0:

@@ -30,7 +30,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import zlib
 from dataclasses import dataclass, field
 from functools import reduce
@@ -113,9 +112,10 @@ def build_plan(spark: SparkSession, df: DataFrame, cfg: PipelineConfig) -> dict:
     }
 
 
-def _load_plan(dst: str) -> dict:
-    with open(_plan_path(dst)) as f:
-        return json.load(f)
+def _load_plan(spark: SparkSession, dst: str) -> dict:
+    from plc import fsio
+
+    return json.loads(fsio.read_text(spark, _plan_path(dst)))
 
 
 # --------------------------------------------------------------------------
@@ -290,24 +290,24 @@ def encode(spark: SparkSession, df: DataFrame, dst: str,
     if "n_tok" not in df.columns and "tokens" in df.columns:
         df = df.withColumn("n_tok", F.size("tokens"))
 
-    manifest_exists = os.path.exists(_manifest_path(dst)) and any(
-        f.endswith(".parquet") for f in os.listdir(_manifest_path(dst)))
+    from plc import fsio
+
+    manifest_exists = fsio.nonempty_dir(spark, _manifest_path(dst), ".parquet")
     if manifest_exists and not resume:
         if mode == "overwrite":
-            shutil.rmtree(dst)
+            fsio.delete(spark, dst)
             manifest_exists = False
         else:
             raise FileExistsError(
                 f"{dst} already has a manifest; pass resume=True or "
                 f"mode='overwrite'")
-    os.makedirs(os.path.join(dst, "_manifest"), exist_ok=True)
+    fsio.mkdirs(spark, os.path.join(dst, "_manifest"))
 
-    if resume and os.path.exists(_plan_path(dst)):
-        plan = _load_plan(dst)
+    if resume and fsio.exists(spark, _plan_path(dst)):
+        plan = _load_plan(spark, dst)
     else:
         plan = build_plan(spark, df, cfg)
-        with open(_plan_path(dst), "w") as f:
-            json.dump(plan, f)
+        fsio.write_text(spark, _plan_path(dst), json.dumps(plan))
 
     committed: set[int] = set()
     if resume and manifest_exists:
@@ -330,11 +330,11 @@ def encode(spark: SparkSession, df: DataFrame, dst: str,
 
     enc = shuffled.mapInArrow(_make_encoder(plan, cfg), ENC_SCHEMA_DDL)
 
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     import time
 
     t0 = time.perf_counter()
     (enc.write.partitionBy("part_id").mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")  # write-scoped, not session
         .option("compression", "uncompressed").parquet(_data_path(dst)))
     data_path_sec = time.perf_counter() - t0
 
@@ -384,10 +384,12 @@ def _read_enc(spark: SparkSession, dst: str) -> DataFrame:
     """Read the encoded-chunk table; explicit schema when the data dir has
     no part directories yet (empty input / nothing committed), where
     parquet schema inference would fail."""
+    from plc import fsio
+
     path = _data_path(dst)
-    if not os.path.exists(path) or not os.listdir(path):
+    if not fsio.nonempty_dir(spark, path):
         return spark.read.schema(ENC_SCHEMA_DDL).parquet(path) \
-            if os.path.exists(path) else \
+            if fsio.exists(spark, path) else \
             spark.createDataFrame([], ENC_SCHEMA_DDL)
     return spark.read.parquet(path)
 
@@ -403,7 +405,7 @@ def decode(spark: SparkSession, dst: str, *, doc_id_min: str | None = None,
     from plc.util import ensure_shipped
 
     ensure_shipped(spark)
-    plan = _load_plan(dst)
+    plan = _load_plan(spark, dst)
     schema = StructType.fromJson(plan["schema"])
     committed = spark.read.parquet(_manifest_path(dst)).select("part_id")
     enc = _read_enc(spark, dst)
@@ -413,8 +415,14 @@ def decode(spark: SparkSession, dst: str, *, doc_id_min: str | None = None,
     if doc_id_max is not None:
         enc = enc.filter(F.col("min_doc_id") <= doc_id_max)
 
+    bounded = doc_id_min is not None or doc_id_max is not None
     if columns is not None:
-        schema = StructType([f for f in schema.fields if f.name in columns])
+        # row-level bound filtering needs doc_id decoded even when the
+        # caller did not request it; it is dropped again after the filter
+        decode_cols = list(dict.fromkeys(
+            (["doc_id"] if bounded else []) + list(columns)))
+        schema = StructType(
+            [f for f in schema.fields if f.name in decode_cols])
     names = [f.name for f in schema.fields]
 
     def decode_batches(batches):
@@ -425,10 +433,12 @@ def decode(spark: SparkSession, dst: str, *, doc_id_min: str | None = None,
                 yield rb.select(names)
 
     out = enc.select("payload").mapInArrow(decode_batches, schema)
-    if doc_id_min is not None and "doc_id" in names:
+    if doc_id_min is not None:
         out = out.filter(F.col("doc_id") >= doc_id_min)
-    if doc_id_max is not None and "doc_id" in names:
+    if doc_id_max is not None:
         out = out.filter(F.col("doc_id") <= doc_id_max)
+    if columns is not None:
+        out = out.select(*[c for c in names if c in columns])
     return out
 
 

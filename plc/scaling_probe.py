@@ -26,11 +26,19 @@ _TBL = None
 _SLICES = 32
 
 
+def _warm(_: int) -> int:
+    from plc import chunk  # noqa: F401 — pay import cost outside the timer
+
+    return 0
+
+
 def _work(i: int) -> int:
     from plc.chunk import EncodeConfig, pack_chunk
 
     n = _TBL.num_rows
-    sl = _TBL.slice(i * n // _SLICES, n // _SLICES).combine_chunks()
+    lo = i * n // _SLICES
+    hi = (i + 1) * n // _SLICES  # covers every row incl. the remainder
+    sl = _TBL.slice(lo, hi - lo).combine_chunks()
     blob, _ = pack_chunk(sl.to_batches()[0], EncodeConfig())
     return len(blob)
 
@@ -46,7 +54,9 @@ def main(n_rows: int = 100_000) -> dict:
         best = float("inf")
         for _ in range(3):  # best-of-3 to damp shared-tenant noise
             with Pool(procs) as p:
-                p.map(_work, range(0))  # ensure workers are up
+                # one warm task per worker so plc/pyarrow imports land
+                # outside the timed region
+                p.map(_warm, range(procs * 2), chunksize=1)
                 t0 = time.perf_counter()
                 p.map(_work, range(_SLICES))
                 best = min(best, time.perf_counter() - t0)

@@ -131,7 +131,7 @@ def test_skew_splitting_assigns_straggler_parts(spark, tmp_path):
     try:
         cfg = PipelineConfig(num_partitions=4, straggler_parts=3)
         encode(spark, df, dst, cfg, mode="overwrite")
-        plan = _load_plan(dst)
+        plan = _load_plan(spark, dst)
         man = spark.read.parquet(_manifest_path(dst))
         straggler_rows = man.filter(f"part_id >= {plan['n_parts']}") \
             .agg({"n_rows": "sum"}).collect()[0][0]
