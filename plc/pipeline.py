@@ -352,6 +352,19 @@ def encode(spark: SparkSession, df: DataFrame, dst: str,
                 F.max("max_doc_id").alias("max_doc_id")))
     if committed:
         man = man.filter(~F.col("part_id").isin(list(committed)))
+    # zero-row commit markers for planned parts that produced no data (e.g.
+    # straggler parts with no rows over τ) — without them resume would
+    # re-run those parts forever instead of reaching a true no-op
+    present = {r[0] for r in man.select("part_id").collect()}
+    empty_ids = [i for i in range(total_parts)
+                 if i not in present and i not in committed]
+    if empty_ids:
+        zeros = spark.createDataFrame(
+            [(i, 0, 0, 0, 0, 0, None, None) for i in empty_ids],
+            "part_id int, n_chunks bigint, n_rows bigint, n_tokens bigint, "
+            "raw_bytes bigint, enc_bytes bigint, min_doc_id string, "
+            "max_doc_id string")
+        man = man.unionByName(zeros)
     man.write.mode("append").parquet(_manifest_path(dst))
     rep = _report(spark, dst, plan, newly_encoded=pending_parts)
     rep["data_path_sec"] = round(data_path_sec, 3)  # scan+shuffle+encode+write
