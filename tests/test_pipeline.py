@@ -181,3 +181,17 @@ def test_empty_input_encode_decode(spark):
         assert verify(spark, empty, dst, method="checksum")["mismatches"] == 0
     finally:
         shutil.rmtree(dst, ignore_errors=True)
+
+
+def test_resume_noop_schedules_zero_parts(spark, src_df):
+    """After a complete run (incl. empty straggler parts), resume must not
+    re-encode anything — zero-row manifest markers make it a true no-op."""
+    dst = _dst()
+    try:
+        cfg = PipelineConfig(num_partitions=4, straggler_parts=3)
+        r1 = encode(spark, src_df, dst, cfg, mode="overwrite")
+        assert r1["committed_parts"] == r1["n_parts"]
+        r2 = encode(spark, src_df, dst, cfg, resume=True)
+        assert r2["newly_encoded"] == 0
+    finally:
+        shutil.rmtree(dst, ignore_errors=True)
