@@ -55,7 +55,7 @@ def _session(master: str):
 
 
 def _bench_encode(master: str, src_path: str, n_parts: int,
-                  raw_bytes: int) -> dict:
+                  raw_bytes: int, shuffle: str = "range") -> dict:
     """One full E1 run on a fresh session; returns wall/gbps/bytes.
     ``data_path_sec`` times only the scan→shuffle→encode→write job (the
     part that scales with executors); wall_sec adds planning + manifests."""
@@ -66,7 +66,8 @@ def _bench_encode(master: str, src_path: str, n_parts: int,
         df = spark.read.parquet(src_path)
         df.count()  # warm executors/page cache so runs compare fairly
         dst = tempfile.mkdtemp(prefix="plc_bench_")
-        cfg = PipelineConfig(num_partitions=n_parts, straggler_parts=4)
+        cfg = PipelineConfig(num_partitions=n_parts, straggler_parts=4,
+                             shuffle=shuffle)
         t0 = time.perf_counter()
         report = encode(spark, df, dst, cfg, mode="overwrite")
         wall = time.perf_counter() - t0
@@ -114,6 +115,11 @@ def main() -> None:
     # headline: encode at the configured parallelism
     main_run = _bench_encode(f"local[{CPUS}]", src_path, n_parts, raw_bytes)
     timings["encode"] = main_run["wall_sec"]
+    # secondary: shuffle-free path for doc_id-clustered inputs (e.g. sorted
+    # Iceberg tables) — the generator writes doc_ids in order, so it applies
+    ns = _bench_encode(f"local[{CPUS}]", src_path, n_parts, raw_bytes,
+                       shuffle="none")
+    timings["encode_noshuffle"] = ns["data_path_sec"]
 
     # decode+verify and the oracle query surface on one session
     import __spark_entry__ as E

@@ -66,6 +66,10 @@ class PipelineConfig:
     max_chunk_values: int = 1 << 22       # split chunks above ~4M tokens
     bounds_sample: int = 100_000          # doc_ids sampled for range bounds
     sort_within: bool = True              # sortWithinPartitions for run wins
+    shuffle: str = "range"                # "range" | "none" (input already
+    #   clustered by doc_id, e.g. a sorted Iceberg table: skips the only
+    #   exchange in the pipeline; logical part ids and resume semantics are
+    #   unchanged — parts may then just span input splits)
 
 
 # --------------------------------------------------------------------------
@@ -321,12 +325,15 @@ def encode(spark: SparkSession, df: DataFrame, dst: str,
     if pending_parts <= 0:
         return _report(spark, dst, plan, newly_encoded=0)
 
-    skey = _salted_key(plan)
-    shuffled = (df.withColumn("_skey", skey)
-                  .repartitionByRange(total_parts, "_skey"))
-    if cfg.sort_within:
-        shuffled = shuffled.sortWithinPartitions("_skey")
-    shuffled = shuffled.drop("_skey")
+    if cfg.shuffle == "none":
+        shuffled = df  # input layout already clusters doc_id; no exchange
+    else:
+        skey = _salted_key(plan)
+        shuffled = (df.withColumn("_skey", skey)
+                      .repartitionByRange(total_parts, "_skey"))
+        if cfg.sort_within:
+            shuffled = shuffled.sortWithinPartitions("_skey")
+        shuffled = shuffled.drop("_skey")
 
     enc = shuffled.mapInArrow(_make_encoder(plan, cfg), ENC_SCHEMA_DDL)
 

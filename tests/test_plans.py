@@ -84,3 +84,25 @@ def test_partial_aggregation_before_shuffle(spark, enc_dir):
            .groupBy("part_id").agg(F.sum("n_rows").alias("r")))
     p = _physical(agg)
     assert "partial_sum" in p or "Partial" in p, p
+
+
+def test_shuffle_free_mode_has_no_exchange(spark, enc_dir):
+    """shuffle='none' (doc_id-clustered input) must produce a plan with no
+    Exchange at all, and still round-trip bit-identically."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from plc.pipeline import encode as _encode, verify as _verify
+
+    src, _ = enc_dir
+    df = spark.read.parquet(src)
+    cfg = PipelineConfig(num_partitions=4, straggler_parts=2, shuffle="none")
+    plan = build_plan(spark, df, cfg)
+    enc = df.mapInArrow(_make_encoder(plan, cfg), ENC_SCHEMA_DDL)
+    assert "Exchange" not in _physical(enc)
+    dst = _tf.mkdtemp(prefix="plc_nosh_")
+    try:
+        _encode(spark, df, dst, cfg, mode="overwrite")
+        assert _verify(spark, df, dst, method="checksum")["mismatches"] == 0
+    finally:
+        _sh.rmtree(dst, ignore_errors=True)
