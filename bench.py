@@ -182,6 +182,17 @@ def main() -> None:
             "n_sec": lo["data_path_sec"], "n4_sec": hi["data_path_sec"],
             "efficiency": round(eff, 3),
         }
+        # codec-layer scaling (no Spark/IPC — the work that multiplies with
+        # executors; far less sensitive to this shared box's tenant noise,
+        # see BENCH/BASELINE.md)
+        from plc import scaling_probe
+
+        probe = scaling_probe.main(60_000)
+        result["codec_scaling"] = {
+            "procs": probe["procs"],
+            "efficiency_1_to_4": probe["efficiency_1_to_4"],
+            "efficiency_2_to_8": probe["efficiency_2_to_8"],
+        }
 
     print(json.dumps(result))
 
