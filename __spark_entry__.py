@@ -281,7 +281,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.n_chars = b.n_chars
         """,
         "metrics_rollup": """
-            SELECT lang, sum(n_chars) AS total_chars,
+            SELECT lang, CAST(sum(n_chars) AS BIGINT) AS total_chars,
                    round(avg(n_chars), 4) AS avg_chars,
                    count(*) AS n_docs
             FROM documents GROUP BY lang
@@ -291,7 +291,8 @@ def oracle_sql() -> dict[str, str]:
                                         IS DISTINCT FROM source
                                    THEN 1 ELSE 0 END AS is_start
                        FROM documents)
-            SELECT sum(is_start) AS n_runs, count(*) AS n_rows FROM r
+            SELECT CAST(sum(is_start) AS BIGINT) AS n_runs,
+                   count(*) AS n_rows FROM r
         """,
         "dict_candidates": """
             SELECT count(DISTINCT source) AS card_source,
@@ -299,8 +300,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "offsets_invariant": """
-            SELECT sum(CASE WHEN length(text) <> n_chars THEN 1 ELSE 0 END)
-                       AS n_bad,
+            SELECT CAST(sum(CASE WHEN length(text) <> n_chars
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
                    count(*) AS n
             FROM documents
         """,

@@ -24,6 +24,9 @@ def duck():
 
 
 def _norm(rows, cols):
+    """Type-aware normalization mimicking the driver's value hash: Decimal
+    is NOT coerced to int (DuckDB sum(int)→HUGEINT vs Spark bigint was the
+    round-1 hash_match failure that plain str() masked)."""
     out = []
     for r in rows:
         vals = []
@@ -32,8 +35,16 @@ def _norm(rows, cols):
             if isinstance(v, float):
                 v = round(v, 6)
                 if math.isnan(v):
-                    v = "nan"
-            vals.append(str(v))
+                    v = "float:nan"
+                else:
+                    v = f"float:{v}"
+            elif isinstance(v, bool):
+                v = f"bool:{v}"
+            elif isinstance(v, int):
+                v = f"int:{v}"
+            else:
+                v = f"{type(v).__name__}:{v}"
+            vals.append(v)
         out.append(tuple(vals))
     out.sort()
     return out
