@@ -115,11 +115,15 @@ def main() -> None:
     # headline: encode at the configured parallelism
     main_run = _bench_encode(f"local[{CPUS}]", src_path, n_parts, raw_bytes)
     timings["encode"] = main_run["wall_sec"]
+    timings["encode_data_path"] = main_run["data_path_sec"]
     # secondary: shuffle-free path for doc_id-clustered inputs (e.g. sorted
-    # Iceberg tables) — the generator writes doc_ids in order, so it applies
+    # Iceberg tables). Same metric pair as the headline run so the two are
+    # directly comparable (wall includes planning + manifests; data_path is
+    # just scan→encode→write).
     ns = _bench_encode(f"local[{CPUS}]", src_path, n_parts, raw_bytes,
                        shuffle="none")
-    timings["encode_noshuffle"] = ns["data_path_sec"]
+    timings["encode_noshuffle"] = ns["wall_sec"]
+    timings["encode_noshuffle_data_path"] = ns["data_path_sec"]
 
     # decode+verify and the oracle query surface on one session
     import __spark_entry__ as E

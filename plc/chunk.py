@@ -352,10 +352,32 @@ def decode_frame(buf: memoryview, pos: int = 0):
         values, _ = decode_frame(buf, p2)
         mask = np.asarray(validity, dtype=np.uint64).astype(bool)
         if isinstance(values, pa.Array):
-            return pa.array(
-                values.to_pandas().where(mask, None), type=values.type), end
+            return _with_validity(values, mask), end
         return pa.array(np.asarray(values), mask=~mask), end
     raise ValueError(f"unknown codec id {codec}")
+
+
+def _with_validity(values: pa.Array, mask: np.ndarray) -> pa.Array:
+    """Attach a validity bitmap to a decoded Arrow array without a pandas
+    round-trip (vectorized: np.packbits + Arrow from_buffers)."""
+    vb = pa.py_buffer(np.packbits(mask, bitorder="little").tobytes())
+    typ = values.type
+    if pa.types.is_string(typ) or pa.types.is_binary(typ):
+        big = pa.large_string() if pa.types.is_string(typ) else pa.large_binary()
+        v = values.cast(big)
+        out = pa.Array.from_buffers(
+            big, len(v), [vb, v.buffers()[1], v.buffers()[2]])
+        return out.cast(typ)
+    if pa.types.is_list(typ) or pa.types.is_large_list(typ):
+        big = pa.large_list(typ.value_type)
+        v = values.cast(big)
+        out = pa.Array.from_buffers(big, len(v), [vb, v.buffers()[1]],
+                                    children=[v.values])
+        return out.cast(typ)
+    if values.num_buffers == 2:  # primitive layout: [validity, data]
+        return pa.Array.from_buffers(typ, len(values),
+                                     [vb, values.buffers()[1]])
+    raise TypeError(f"cannot attach validity to {typ}")  # pragma: no cover
 
 
 def _decode_fsst_frame(buf: memoryview, pos: int) -> np.ndarray:

@@ -137,10 +137,38 @@ def _rle_value_bytes(v: int, w: int) -> bytes:
     return int(v).to_bytes(max(nb, 1), "little") if w > 0 else b""
 
 
+def _varint_columns(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized ULEB128: returns (byte matrix [k, maxw] uint8, lens[k]).
+    Column j holds byte j of each varint; rows use only their first len_j
+    columns."""
+    vals = vals.astype(np.uint64, copy=False)
+    k = vals.size
+    cols = []
+    lens = np.ones(k, dtype=np.int64)
+    j = 0
+    while True:
+        shifted = vals >> np.uint64(7 * j)
+        byte = (shifted & np.uint64(0x7F)).astype(np.uint8)
+        more = (vals >> np.uint64(7 * (j + 1))) > 0
+        byte |= more.astype(np.uint8) << np.uint8(7)
+        cols.append(byte)
+        lens = np.where(more, j + 2, lens)
+        j += 1
+        if not more.any() or j >= 10:
+            break
+    return np.stack(cols, axis=1), lens
+
+
 def rle_hybrid_encode(arr: np.ndarray, w: int) -> bytes:
     """Encode non-negative ints (< 2**w) in the parquet RLE/bit-pack hybrid
-    wire format. Vectorized run detection; the Python loop is over run
-    *segments* (alternating RLE / bit-packed regions), not values.
+    wire format.
+
+    Fully vectorized: run detection, header varints, RLE value bytes, and
+    bit-packing are whole-array numpy ops assembled by columnwise scatters.
+    The only Python loop is the mod-8 steal/fold resolution over *long* runs
+    (RLE candidates, ≥ 8 equal values) — short runs never enter a loop, so
+    borderline data (avg run ~2-3) costs no per-run Python. Output is
+    byte-identical to the straightforward segment-at-a-time encoder.
     """
     n = arr.size
     if n == 0:
@@ -150,51 +178,90 @@ def rle_hybrid_encode(arr: np.ndarray, w: int) -> bytes:
     change = np.flatnonzero(np.diff(a)) + 1
     starts = np.concatenate(([0], change))
     lens = np.diff(np.concatenate((starts, [n])))
-    long_mask = lens >= _RLE_MIN_RUN
+    long_idx = np.flatnonzero(lens >= _RLE_MIN_RUN)
 
-    out = bytearray()
-    pending = 0  # count of values queued for the current bit-packed segment
-    pend_start = 0
-
-    def flush_bitpacked(end: int, final: bool) -> None:
-        nonlocal pending, pend_start
-        if pending == 0:
-            return
-        ngroups = (pending + 7) // 8 if final else pending // 8
-        nvals = ngroups * 8
-        seg = a[pend_start : pend_start + min(nvals, pending)]
-        if nvals > pending:  # zero-pad the last group (only legal at stream end)
-            seg = np.concatenate((seg, np.zeros(nvals - pending, dtype=np.uint64)))
-        out.extend(varint_encode([(ngroups << 1) | 1]))
-        out.extend(bitpack(seg, w))
-        leftover = pending - min(nvals, pending)
-        pend_start += nvals
-        pending = leftover
-
-    nruns = starts.size
-    for i in range(nruns):
-        s, ln = int(starts[i]), int(lens[i])
-        if not long_mask[i]:
-            if pending == 0:
-                pend_start = s
-            pending += ln
-            continue
-        # steal values from the head of this long run so the preceding
-        # bit-packed segment is a multiple of 8 (mid-stream pad is illegal)
-        steal = (-pending) % 8 if pending else 0
+    # resolve RLE-run placement: steal run-head values so each preceding
+    # bit-packed region is a multiple of 8 (mid-stream pad is illegal);
+    # fold runs that stealing would shrink below the minimum. Sequential
+    # mod-8 recurrence, but only over long runs.
+    rle_starts, rle_lens = [], []
+    prev_end = 0  # end of the last emitted RLE run (pending resets to 0)
+    for j in long_idx:
+        s, ln = int(starts[j]), int(lens[j])
+        steal = (s - prev_end) and (-(s - prev_end)) % 8
         if ln - steal >= _RLE_MIN_RUN:
-            pending += steal
-            flush_bitpacked(s + steal, final=False)
-            rle_len = ln - steal
-            out.extend(varint_encode([rle_len << 1]))
-            out.extend(_rle_value_bytes(int(a[s]), w))
-            pending = 0
-        else:  # stealing would kill the run: fold it into the segment
-            if pending == 0:
-                pend_start = s
-            pending += ln
-    flush_bitpacked(n, final=True)
-    return bytes(out)
+            rle_starts.append(s + steal)
+            rle_lens.append(ln - steal)
+            prev_end = s + ln
+    m = len(rle_starts)
+    if m == 0:
+        # single bit-packed stream (common for high-entropy planes): one
+        # header + one bitpack call, no assembly machinery
+        ngroups = (n + 7) // 8
+        seg = a if n == ngroups * 8 else np.concatenate(
+            (a, np.zeros(ngroups * 8 - n, dtype=np.uint64)))
+        return varint_encode([(ngroups << 1) | 1]) + bitpack(seg, w)
+    rs = np.array(rle_starts, dtype=np.int64)
+    rl = np.array(rle_lens, dtype=np.int64)
+
+    # bit-packed regions fill the gaps: slots bp_0, rle_0, bp_1, ... bp_m
+    bp_starts = np.concatenate(([0], rs + rl))
+    bp_lens = np.concatenate((rs, [n])) - bp_starts
+    ngroups = bp_lens // 8
+    if bp_lens[-1] % 8:
+        ngroups[-1] += 1  # final region may zero-pad to a full group
+    nb = (w + 7) // 8 if w > 0 else 0  # RLE value byte width
+
+    # headers (vectorized varints) and per-slot byte lengths
+    bp_hdr, bp_hlen = _varint_columns((ngroups << 1) | 1)
+    bp_piece = np.where(bp_lens > 0, bp_hlen + ngroups * w, 0)
+    rle_hdr, rle_hlen = _varint_columns((rl << 1).astype(np.uint64))
+    rle_piece = rle_hlen + nb
+    slot_lens = np.empty(2 * m + 1, dtype=np.int64)
+    slot_lens[0::2] = bp_piece
+    slot_lens[1::2] = rle_piece
+    offsets = np.concatenate(([0], np.cumsum(slot_lens)))[:-1]
+    out = np.zeros(int(slot_lens.sum()), dtype=np.uint8)
+
+    # scatter headers columnwise (≤ a handful of vectorized assignments)
+    bp_off = offsets[0::2]
+    live = bp_lens > 0
+    for jcol in range(bp_hdr.shape[1]):
+        sel = live & (bp_hlen > jcol)
+        out[bp_off[sel] + jcol] = bp_hdr[sel, jcol]
+    rle_off = offsets[1::2]
+    for jcol in range(rle_hdr.shape[1]):
+        sel = rle_hlen > jcol
+        out[rle_off[sel] + jcol] = rle_hdr[sel, jcol]
+    # RLE values: little-endian nb-byte columns
+    if nb:
+        vbytes = a[rs].astype("<u8").view(np.uint8).reshape(m, 8)
+        vpos = rle_off + rle_hlen
+        for jcol in range(nb):
+            out[vpos + jcol] = vbytes[:, jcol]
+
+    # bit-packed payload: pack every gap value in ONE bitpack call (legal:
+    # every region is a multiple of 8 values except the zero-padded final),
+    # then memcpy each region's packed bytes to its slot
+    keep = np.zeros(n + 1, dtype=np.int8)
+    np.subtract.at(keep, rs, 1)
+    np.add.at(keep, rs + rl, 1)
+    keep = np.cumsum(keep[:-1]) == 0
+    vals_bp = a[keep]
+    pad = int(ngroups.sum() * 8 - vals_bp.size)
+    if pad:
+        vals_bp = np.concatenate((vals_bp, np.zeros(pad, dtype=np.uint64)))
+    packed = np.frombuffer(bitpack(vals_bp, w), dtype=np.uint8)
+    if packed.size:
+        region_bytes = ngroups * w
+        src = 0
+        dst_pos = bp_off + bp_hlen
+        for i in np.flatnonzero(region_bytes):
+            L = int(region_bytes[i])
+            d = int(dst_pos[i])
+            out[d : d + L] = packed[src : src + L]
+            src += L
+    return out.tobytes()
 
 
 def rle_hybrid_decode(buf: bytes | memoryview, w: int, n: int) -> np.ndarray:

@@ -30,7 +30,6 @@ from __future__ import annotations
 
 import json
 import os
-import zlib
 from dataclasses import dataclass, field
 from functools import reduce
 
@@ -129,9 +128,7 @@ def _load_plan(spark: SparkSession, dst: str) -> dict:
 
 def _make_encoder(plan: dict, cfg: PipelineConfig):
     bounds = np.array(plan["bounds"], dtype=str)
-    tau = plan["tau"]
     n_parts = plan["n_parts"]
-    k = plan["straggler_parts"]
     codec_cfg = cfg.codec
     max_vals = cfg.max_chunk_values
 
@@ -180,14 +177,14 @@ def _make_encoder(plan: dict, cfg: PipelineConfig):
                 .astype(np.int64)
             part = (np.searchsorted(bounds, docs.astype(str), side="right")
                     if bounds.size else np.zeros(len(docs), np.int64))
-            if k > 0:
-                straggler = n_tok > tau
-                if straggler.any():
-                    # crc32 salt matches the JVM-side F.crc32 used on resume
-                    salts = np.fromiter(
-                        (zlib.crc32(d.encode()) % k for d in docs[straggler]),
-                        dtype=np.int64, count=int(straggler.sum()))
-                    part[straggler] = n_parts + salts
+            # straggler routing comes in as the JVM-computed _sbucket column
+            # (1+crc32(doc_id)%k for rows over τ, 0 otherwise) — vectorized,
+            # and bit-identical to the bucket the shuffle/resume side used
+            if "_sbucket" in batch.schema.names:
+                sb = batch.column("_sbucket").to_numpy(zero_copy_only=False) \
+                    .astype(np.int64)
+                part = np.where(sb > 0, n_parts + sb - 1, part)
+                batch = batch.drop_columns(["_sbucket"])
             # group rows by part id (sorted within partition → contiguous)
             order = np.argsort(part, kind="stable")
             if not np.array_equal(order, np.arange(order.size)):
@@ -233,16 +230,18 @@ def _make_encoder(plan: dict, cfg: PipelineConfig):
 # --------------------------------------------------------------------------
 
 
-def _salted_key(plan: dict):
-    """Physical range key: doc_id, except stragglers go to '~'-prefixed
-    buckets (sort after ASCII ids) salted by crc32 — P3 skew splitting."""
+def _sbucket_col(plan: dict):
+    """P3 skew routing column: 0 for normal rows, 1+crc32(doc_id)%k for
+    stragglers (n_tok > τ). Range-partitioning on (_sbucket, doc_id) sends
+    stragglers to dedicated salted parts after all normal parts. An explicit
+    int column (not string-prefix arithmetic) so doc_ids sorting above '~'
+    or containing non-ASCII bytes can never be misrouted."""
     tau, k = plan["tau"], plan["straggler_parts"]
     if k <= 0:
-        return F.col("doc_id")
+        return F.lit(0).cast("int")
     salt = F.pmod(F.crc32(F.col("doc_id").cast("binary")), F.lit(k))
-    return F.when(F.col("n_tok") > tau,
-                  F.concat(F.lit("~"), F.lpad(salt.cast("string"), 6, "0"),
-                           F.col("doc_id"))).otherwise(F.col("doc_id"))
+    return (F.when(F.col("n_tok") > tau, salt + 1).otherwise(F.lit(0))
+            .cast("int"))
 
 
 def _pending_predicate(plan: dict, committed: set[int]):
@@ -292,19 +291,26 @@ def encode(spark: SparkSession, df: DataFrame, dst: str,
 
     ensure_shipped(spark)
     if "n_tok" not in df.columns and "tokens" in df.columns:
-        df = df.withColumn("n_tok", F.size("tokens"))
+        df = df.withColumn("n_tok", F.when(F.col("tokens").isNull(), 0)
+                           .otherwise(F.size("tokens")).cast("int"))
 
     from plc import fsio
 
     manifest_exists = fsio.nonempty_dir(spark, _manifest_path(dst), ".parquet")
-    if manifest_exists and not resume:
+    # fresh-run guard covers any prior state, not just a manifest: a crash
+    # between the data write and the manifest commit leaves part_id= dirs
+    # and/or plan.json with no manifest, and dynamic partition overwrite +
+    # zero-row markers would otherwise commit those stale directories
+    prior_state = (manifest_exists or fsio.exists(spark, _plan_path(dst))
+                   or fsio.nonempty_dir(spark, _data_path(dst)))
+    if prior_state and not resume:
         if mode == "overwrite":
             fsio.delete(spark, dst)
             manifest_exists = False
         else:
             raise FileExistsError(
-                f"{dst} already has a manifest; pass resume=True or "
-                f"mode='overwrite'")
+                f"{dst} already has encode state (manifest, plan, or data); "
+                f"pass resume=True or mode='overwrite'")
     fsio.mkdirs(spark, os.path.join(dst, "_manifest"))
 
     if resume and fsio.exists(spark, _plan_path(dst)):
@@ -325,15 +331,25 @@ def encode(spark: SparkSession, df: DataFrame, dst: str,
     if pending_parts <= 0:
         return _report(spark, dst, plan, newly_encoded=0)
 
+    # pre-clean: part dirs written by a crashed earlier attempt but never
+    # committed must be deleted before the write — dynamic partition
+    # overwrite only rewrites parts that receive new data, so the manifest
+    # rollup (which reads the data dir) would otherwise adopt stale dirs
+    if fsio.nonempty_dir(spark, _data_path(dst)):
+        for i in range(total_parts):
+            if i not in committed:
+                fsio.delete(spark,
+                            os.path.join(_data_path(dst), f"part_id={i}"))
+
+    # _sbucket travels into the encoder in both modes: the mapInArrow workers
+    # read it for straggler routing (no Python-side hashing) and drop it
+    df = df.withColumn("_sbucket", _sbucket_col(plan))
     if cfg.shuffle == "none":
         shuffled = df  # input layout already clusters doc_id; no exchange
     else:
-        skey = _salted_key(plan)
-        shuffled = (df.withColumn("_skey", skey)
-                      .repartitionByRange(total_parts, "_skey"))
+        shuffled = df.repartitionByRange(total_parts, "_sbucket", "doc_id")
         if cfg.sort_within:
-            shuffled = shuffled.sortWithinPartitions("_skey")
-        shuffled = shuffled.drop("_skey")
+            shuffled = shuffled.sortWithinPartitions("_sbucket", "doc_id")
 
     enc = shuffled.mapInArrow(_make_encoder(plan, cfg), ENC_SCHEMA_DDL)
 
@@ -437,6 +453,11 @@ def decode(spark: SparkSession, dst: str, *, doc_id_min: str | None = None,
 
     bounded = doc_id_min is not None or doc_id_max is not None
     if columns is not None:
+        known = {f.name for f in schema.fields}
+        unknown = [c for c in columns if c not in known]
+        if unknown:
+            raise ValueError(f"unknown columns {unknown}; "
+                             f"stored schema has {sorted(known)}")
         # row-level bound filtering needs doc_id decoded even when the
         # caller did not request it; it is dropped again after the filter
         decode_cols = list(dict.fromkeys(
@@ -458,21 +479,22 @@ def decode(spark: SparkSession, dst: str, *, doc_id_min: str | None = None,
     if doc_id_max is not None:
         out = out.filter(F.col("doc_id") <= doc_id_max)
     if columns is not None:
-        out = out.select(*[c for c in names if c in columns])
+        out = out.select(*columns)  # caller's order, not stored-schema order
     return out
 
 
 def verify(spark: SparkSession, src: DataFrame, dst: str,
-           method: str = "join") -> dict:
+           method: str = "checksum") -> dict:
     """P7: per-row token-array equality between source and decoded output
     (BASELINE.json: 'token-array equality per row').
 
     ``method="join"``: doc_id full-outer equi-join with per-column
     eqNullSafe — exact, names the differing rows, but shuffles both sides.
-    ``method="checksum"``: order-insensitive xxhash64 row-checksum aggregate
-    on each side — no join shuffle at all (two scans + two tiny aggregates),
-    the method that scales to 10^12 rows. Both return mismatches == 0 on
-    success."""
+    ``method="checksum"`` (default): order-insensitive xxhash64 row-checksum
+    aggregate on each side — no join shuffle at all (two scans + two tiny
+    aggregates), the method that scales to 10^12 rows. The join method is
+    kept for debugging (it names the differing rows). Both return
+    mismatches == 0 on success."""
     dec = decode(spark, dst)
     cols = [c for c in src.columns if c in dec.columns]
     man = spark.read.parquet(_manifest_path(dst))

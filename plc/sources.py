@@ -10,7 +10,16 @@ on Iceberg, row-group skipping on parquet).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+log = logging.getLogger(__name__)
+
+# error signatures meaning "the iceberg data source itself is unavailable" —
+# only these trigger the parquet fallback; real read errors propagate
+_NO_ICEBERG_MARKERS = ("DATA_SOURCE_NOT_FOUND", "Failed to find data source",
+                       "ClassNotFoundException", "Multiple sources found")
 
 TOKENS_SCHEMA_DDL = ("doc_id string, tokens array<int>, n_tok int, "
                      "source string")
@@ -30,7 +39,14 @@ def read_tokens(spark: SparkSession, location: str,
     if fmt == "iceberg":
         try:
             df = spark.read.format("iceberg").load(location)
-        except Exception:  # no catalog/jars in the sandbox → parquet fallback
+        except Exception as e:
+            # fall back to parquet ONLY when the iceberg source is absent
+            # (no catalog jars, e.g. this sandbox); anything else — bad
+            # table name, permissions, corrupt metadata — must propagate
+            if not any(m in str(e) for m in _NO_ICEBERG_MARKERS):
+                raise
+            log.warning("iceberg data source unavailable (%s); falling back "
+                        "to parquet at %s", type(e).__name__, location)
             df = spark.read.parquet(location)
     else:
         df = spark.read.parquet(location)
@@ -41,7 +57,9 @@ def normalize_tokens(df: DataFrame) -> DataFrame:
     """Coerce an input table to the engine schema: ensure n_tok exists and
     dtypes match (doc_id string, tokens array<int32>, n_tok int32)."""
     if "n_tok" not in df.columns and "tokens" in df.columns:
-        df = df.withColumn("n_tok", F.size("tokens"))
+        # size(NULL) is -1, which would poison τ/skew stats and byte metrics
+        df = df.withColumn("n_tok", F.when(F.col("tokens").isNull(), 0)
+                           .otherwise(F.size("tokens")))
     casts = []
     for name, typ in [("doc_id", "string"), ("tokens", "array<int>"),
                       ("n_tok", "int")]:

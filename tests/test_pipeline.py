@@ -183,6 +183,117 @@ def test_empty_input_encode_decode(spark):
         shutil.rmtree(dst, ignore_errors=True)
 
 
+def test_crash_before_manifest_commit_refuses_fresh_run(spark, src_df):
+    """A crash between the data write and the manifest commit leaves data +
+    plan but no manifest; a fresh mode='error' run must refuse (previously it
+    proceeded and zero-row markers could commit stale part dirs)."""
+    dst = _dst()
+    try:
+        cfg = PipelineConfig(num_partitions=6, straggler_parts=0)
+        encode(spark, src_df, dst, cfg, mode="overwrite")
+        shutil.rmtree(_manifest_path(dst))  # simulated crash point
+        with pytest.raises(FileExistsError):
+            encode(spark, src_df, dst, cfg)
+    finally:
+        shutil.rmtree(dst, ignore_errors=True)
+
+
+def test_markers_never_commit_stale_part_dirs(spark, src_df):
+    """ADVICE repro: crash after data write, then resume with a *smaller*
+    input. Parts that now receive no data still hold stale part_id= dirs;
+    the zero-row commit markers must delete them, not adopt them."""
+    dst = _dst()
+    try:
+        cfg = PipelineConfig(num_partitions=6, straggler_parts=0)
+        encode(spark, src_df, dst, cfg, mode="overwrite")
+        shutil.rmtree(_manifest_path(dst))  # crash: data + plan, no manifest
+        small = src_df.filter("doc_id < 'doc-000000000500'")
+        encode(spark, small, dst, cfg, resume=True)
+        dec_rows = decode(spark, dst).count()
+        assert dec_rows == small.count() == 500, \
+            f"phantom rows decoded: {dec_rows}"
+        assert verify(spark, small, dst)["mismatches"] == 0
+    finally:
+        shutil.rmtree(dst, ignore_errors=True)
+
+
+def test_decode_column_order_and_unknown_raise(spark, src_df):
+    dst = _dst()
+    try:
+        encode(spark, src_df, dst,
+               PipelineConfig(num_partitions=4, straggler_parts=0),
+               mode="overwrite")
+        out = decode(spark, dst, columns=["n_tok", "doc_id"])
+        assert out.columns == ["n_tok", "doc_id"], "caller's order, not stored"
+        with pytest.raises(ValueError, match="unknown columns"):
+            decode(spark, dst, columns=["doc_id", "nope"])
+    finally:
+        shutil.rmtree(dst, ignore_errors=True)
+
+
+def test_tilde_and_non_ascii_doc_ids_roundtrip(spark):
+    """doc_ids sorting above '~' or with non-ASCII bytes must route and
+    round-trip exactly (the old string-prefix salt key could collide)."""
+    rows = [("~~tilde-doc", list(range(9000)), 9000, "web"),
+            ("émile-utf8", list(range(8500)), 8500, "web"),
+            ("\x7f\x7fhigh", list(range(50)), 50, "books")] + [
+        (f"doc-{i:04d}", [i % 97] * 40, 40, "wiki") for i in range(300)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string")
+    dst = _dst()
+    try:
+        cfg = PipelineConfig(num_partitions=4, straggler_parts=2,
+                             skew_quantile=0.99)
+        encode(spark, df, dst, cfg, mode="overwrite")
+        assert verify(spark, df, dst)["mismatches"] == 0
+        assert decode(spark, dst).count() == 303
+    finally:
+        shutil.rmtree(dst, ignore_errors=True)
+
+
+def test_null_tokens_get_zero_n_tok(spark):
+    """size(NULL) = -1 must not leak into n_tok (skews τ and byte metrics)."""
+    df = spark.createDataFrame(
+        [("a", [1, 2, 3], "web"), ("b", None, "web"), ("c", [], "books")],
+        "doc_id string, tokens array<int>, source string")
+    from plc.sources import normalize_tokens
+    norm = normalize_tokens(df)
+    toks = {r["doc_id"]: r["n_tok"] for r in norm.collect()}
+    assert toks == {"a": 3, "b": 0, "c": 0}
+    dst = _dst()
+    try:
+        encode(spark, df, dst,
+               PipelineConfig(num_partitions=2, straggler_parts=0),
+               mode="overwrite")
+        out = {r["doc_id"]: r["tokens"] for r in decode(spark, dst).collect()}
+        assert out["a"] == [1, 2, 3] and out["b"] is None and out["c"] == []
+    finally:
+        shutil.rmtree(dst, ignore_errors=True)
+
+
+def test_iceberg_fallback_propagates_real_errors(spark, src_df, monkeypatch):
+    """Only 'iceberg source unavailable' errors fall back to parquet; real
+    read errors (missing table, corrupt metadata) must propagate."""
+    from pyspark.sql.readwriter import DataFrameReader
+    from plc.sources import read_tokens
+
+    def boom(self, path=None, **kw):
+        raise RuntimeError("Table does not exist: prod.db.tokens")
+
+    monkeypatch.setattr(DataFrameReader, "load", boom)
+    with pytest.raises(RuntimeError, match="Table does not exist"):
+        read_tokens(spark, "prod.db.tokens", fmt="iceberg")
+
+    def no_source(self, path=None, **kw):
+        raise Exception("[DATA_SOURCE_NOT_FOUND] Failed to find data "
+                        "source: iceberg.")
+
+    monkeypatch.setattr(DataFrameReader, "load", no_source)
+    src_path = src_df.inputFiles()[0].rsplit("/", 1)[0].replace("file:", "")
+    out = read_tokens(spark, src_path, fmt="iceberg")  # → parquet fallback
+    assert out.count() == 2000
+
+
 def test_resume_noop_schedules_zero_parts(spark, src_df):
     """After a complete run (incl. empty straggler parts), resume must not
     re-encode anything — zero-row manifest markers make it a true no-op."""

@@ -11,7 +11,7 @@ import pytest
 
 from plc import data as D
 from plc.pipeline import (PipelineConfig, build_plan, decode, encode,
-                          _make_encoder, _salted_key, _manifest_path,
+                          _make_encoder, _sbucket_col, _manifest_path,
                           _data_path, ENC_SCHEMA_DDL)
 
 
@@ -38,9 +38,9 @@ def test_encode_plan_has_exactly_one_shuffle(spark, enc_dir):
     plan = build_plan(spark, df, cfg)
     from pyspark.sql import functions as F
 
-    shuffled = (df.withColumn("_skey", _salted_key(plan))
-                .repartitionByRange(6, "_skey")
-                .sortWithinPartitions("_skey").drop("_skey"))
+    shuffled = (df.withColumn("_sbucket", _sbucket_col(plan))
+                .repartitionByRange(6, "_sbucket", "doc_id")
+                .sortWithinPartitions("_sbucket", "doc_id"))
     enc = shuffled.mapInArrow(_make_encoder(plan, cfg), ENC_SCHEMA_DDL)
     p = _physical(enc)
     assert p.count("Exchange") == 1, p
