@@ -21,6 +21,9 @@ Codecs:
     6 STRING  body := lengths-frame | bytes-frame-or-FSST         (K9 analogue)
     7 LIST32  body := lengths-frame | int32 values-frame          (K9)
     8 NULLS   body := validity-frame(RLE 0/1) | values-frame      (K8)
+    9 BYTEPLANE body := u8 dtype | byte-transposed values         (float split)
+   10 LISTGEN body := lengths-frame | values-frame (any numeric)  (K9 generic)
+   11 BINARY  body := lengths-frame | bytes-frame                 (opaque blobs)
 
 Chunk blob := b"PLC1" | u8 version | u32 n_rows | u8 ncols |
     per column: u16 name_len | name | u64 frame_len | u32 crc32 | frame
@@ -40,8 +43,10 @@ from plc import kernels as K
 MAGIC = b"PLC1"
 VERSION = 1
 
-PLAIN, FOR, RLE, DICT, FSST, ZSTD, STRING, LIST32, NULLS = range(9)
-CODEC_NAMES = ["plain", "for", "rle", "dict", "fsst", "zstd", "string", "list", "nulls"]
+(PLAIN, FOR, RLE, DICT, FSST, ZSTD, STRING, LIST32, NULLS, BYTEPLANE,
+ LISTGEN, BINARY) = range(12)
+CODEC_NAMES = ["plain", "for", "rle", "dict", "fsst", "zstd", "string",
+               "list", "nulls", "byteplane", "listgen", "binary"]
 
 _DTYPES = [np.dtype(t) for t in ("int32", "int64", "float32", "float64", "uint8",
                                  "int16", "uint16", "uint32", "uint64", "bool")]
@@ -152,10 +157,15 @@ def encode_int_plane(arr: np.ndarray, cfg: EncodeConfig, *, allow_dict: bool = T
     """
     if arr.size == 0:
         return _frame(PLAIN, 0, struct.pack("<B", _DTYPE_CODE[arr.dtype]))
-    if arr.dtype.kind == "f" or arr.dtype == np.bool_:
+    if arr.dtype.kind == "f":
+        return encode_float_plane(arr, cfg, allow_zstd=allow_zstd)
+    if arr.dtype == np.bool_:
         frame = _plain_frame(arr)
         return _zstd_wrap(frame, cfg) if (cfg.use_zstd and allow_zstd) else frame
 
+    if arr.dtype == np.uint64:  # FOR's int64 shift can wrap; store raw
+        frame = _plain_frame(arr)
+        return _zstd_wrap(frame, cfg) if (cfg.use_zstd and allow_zstd) else frame
     card, ssize, avg_run, lo, hi = _int_stats(arr, cfg)
     w = K.bits_needed(hi - lo)
     candidates = []
@@ -177,6 +187,41 @@ def encode_int_plane(arr: np.ndarray, cfg: EncodeConfig, *, allow_dict: bool = T
         best = candidates[int(np.argmin(sizes))]
     else:
         best = candidates[0]
+    return wrap(best(arr))
+
+
+# --------------------------------------------------------------------------
+# float plane: PLAIN vs byte-plane split (+ZSTD)
+# --------------------------------------------------------------------------
+
+
+def _byteplane_frame(arr: np.ndarray) -> bytes:
+    """Byte-plane split: transpose the (n, itemsize) byte matrix so sign/
+    exponent bytes group together — floats rarely RLE/FOR, but their high
+    bytes are low-entropy, which zstd exploits far better per-plane
+    (cf. byte-stream-split in parquet-format Encodings.md)."""
+    isz = arr.dtype.itemsize
+    body = struct.pack("<B", _DTYPE_CODE[arr.dtype]) + \
+        np.ascontiguousarray(arr).view(np.uint8).reshape(arr.size, isz) \
+        .T.tobytes()
+    return _frame(BYTEPLANE, arr.size, body)
+
+
+def encode_float_plane(arr: np.ndarray, cfg: EncodeConfig, *,
+                       allow_zstd: bool = True) -> bytes:
+    """K11 for float planes (float32 embeddings, double metrics): trial
+    PLAIN vs byte-plane split on a sample, zstd-wrapped, keep smallest."""
+    if arr.size == 0:
+        return _frame(PLAIN, 0, struct.pack("<B", _DTYPE_CODE[arr.dtype]))
+    wrap = (lambda f: _zstd_wrap(f, cfg)) if (cfg.use_zstd and allow_zstd) \
+        else (lambda f: f)
+    candidates = [_plain_frame, _byteplane_frame]
+    if arr.size > cfg.sample_values:
+        sample = arr[: cfg.sample_values * 4]
+        sizes = [len(wrap(c(sample))) for c in candidates]
+        best = candidates[int(np.argmin(sizes))]
+    else:
+        best = _plain_frame
     return wrap(best(arr))
 
 
@@ -277,20 +322,58 @@ def encode_string_plane(arr: pa.Array, cfg: EncodeConfig) -> bytes:
 
 
 # --------------------------------------------------------------------------
-# list<int32> plane (tokens): lengths + flat values
+# list planes: lengths + flat values (tokens, embeddings, any numeric list)
 # --------------------------------------------------------------------------
 
 
-def encode_list_plane(arr: pa.Array, cfg: EncodeConfig) -> bytes:
-    arr = arr.cast(pa.large_list(pa.int32()))
+def _list_planes(arr: pa.Array) -> tuple[np.ndarray, pa.Array]:
+    """Large-list array → (lengths int64, flat values for this slice)."""
     offsets = np.frombuffer(arr.buffers()[1], dtype=np.int64,
                             count=len(arr) + 1, offset=arr.offset * 8)
-    lengths = np.diff(offsets).astype(np.int64)
-    flat = arr.flatten()
+    return np.diff(offsets).astype(np.int64), arr.flatten()
+
+
+def encode_list_plane(arr: pa.Array, cfg: EncodeConfig) -> bytes:
+    """list<int32> (the token plane): FOR/RLE/DICT-selected values."""
+    arr = arr.cast(pa.large_list(pa.int32()))
+    lengths, flat = _list_planes(arr)
     values = flat.to_numpy(zero_copy_only=False).astype(np.int32, copy=False)
     lens_frame = encode_int_plane(lengths, cfg)
     vals_frame = encode_int_plane(values, cfg)
     return _frame(LIST32, len(arr), lens_frame + vals_frame)
+
+
+def encode_list_generic(arr: pa.Array, cfg: EncodeConfig) -> bytes:
+    """Any numeric list (list<float> embeddings, list<double>, list<int64>):
+    lengths plane + recursively-selected values plane. Element nulls are
+    preserved via a nested NULLS frame."""
+    vt = arr.type.value_type
+    arr = arr.cast(pa.large_list(vt))
+    lengths, flat = _list_planes(arr)
+    lens_frame = encode_int_plane(lengths, cfg)
+    if flat.null_count > 0:
+        vals_frame = _encode_with_nulls(flat, cfg)
+    else:
+        vals_frame = encode_value_plane(flat, cfg)
+    return _frame(LISTGEN, len(arr), lens_frame + vals_frame)
+
+
+# --------------------------------------------------------------------------
+# binary plane: opaque blobs (images/audio bytes) — lengths + zstd bytes
+# --------------------------------------------------------------------------
+
+
+def encode_binary_plane(arr: pa.Array, cfg: EncodeConfig) -> bytes:
+    """Opaque binary columns (multimodal payloads): lengths plane + raw
+    bytes, zstd-wrapped only if it actually shrinks (already-compressed
+    media stays as-is via the keep-only-if-smaller gate)."""
+    arr = arr.cast(pa.large_binary())
+    lengths, data = _string_planes(arr)
+    lens_frame = encode_int_plane(lengths, cfg, allow_zstd=False)
+    data_frame = _bytes_frame(data)
+    if cfg.use_zstd:
+        data_frame = _zstd_wrap(data_frame, cfg)
+    return _frame(BINARY, len(arr), lens_frame + data_frame)
 
 
 # --------------------------------------------------------------------------
@@ -345,6 +428,31 @@ def decode_frame(buf: memoryview, pos: int = 0):
             pa.array(offsets, pa.int64()),
             pa.array(np.asarray(values, np.int32), pa.int32()))
         return arr.cast(pa.list_(pa.int32())), end
+    if codec == LISTGEN:
+        lengths, p2 = decode_frame(buf, body)
+        values, _ = decode_frame(buf, p2)
+        if not isinstance(values, pa.Array):
+            values = pa.array(values)
+        offsets = K.offsets_from_lengths(np.asarray(lengths))
+        arr = pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()),
+                                            values)
+        return arr.cast(pa.list_(values.type)), end
+    if codec == BYTEPLANE:
+        (dt_code,) = struct.unpack_from("<B", buf, body)
+        dt = _DTYPES[dt_code]
+        isz = dt.itemsize
+        mat = np.frombuffer(buf, np.uint8, count=n * isz,
+                            offset=body + 1).reshape(isz, n)
+        return np.ascontiguousarray(mat.T).view(dt).reshape(n), end
+    if codec == BINARY:
+        lengths, p2 = decode_frame(buf, body)
+        data, _ = decode_frame(buf, p2)
+        offsets = K.offsets_from_lengths(np.asarray(lengths))
+        arr = pa.Array.from_buffers(
+            pa.large_binary(), n,
+            [None, pa.py_buffer(offsets.tobytes()),
+             pa.py_buffer(np.asarray(data, np.uint8).tobytes())])
+        return arr.cast(pa.binary()), end
     if codec == FSST:
         return _decode_fsst_frame(buf, pos - 0), end  # pragma: no cover
     if codec == NULLS:
@@ -399,26 +507,25 @@ def _decode_fsst_frame(buf: memoryview, pos: int) -> np.ndarray:
 # chunk pack / unpack (K13)
 # --------------------------------------------------------------------------
 
-COLTYPE_ENCODERS = {
-    "int32": lambda col, cfg: encode_int_plane(
-        col.to_numpy(zero_copy_only=False).astype(np.int32, copy=False), cfg),
-    "int64": lambda col, cfg: encode_int_plane(
-        col.to_numpy(zero_copy_only=False).astype(np.int64, copy=False), cfg),
-    "double": lambda col, cfg: encode_int_plane(
-        col.to_numpy(zero_copy_only=False).astype(np.float64, copy=False), cfg),
-    "string": encode_string_plane,
-    "list<item: int32>": encode_list_plane,
-}
-
-
-def _coltype_name(typ: pa.DataType) -> str:
-    if pa.types.is_list(typ) or pa.types.is_large_list(typ):
-        return "list<item: int32>"
-    if pa.types.is_string(typ) or pa.types.is_large_string(typ):
-        return "string"
-    if pa.types.is_float64(typ):
-        return "double"
-    return str(typ)
+def encode_value_plane(col: pa.Array, cfg: EncodeConfig) -> bytes:
+    """Type-driven plane dispatch (K11 entry): every Spark-surface type the
+    engine stores — ints, floats, bool, string, binary, numeric lists."""
+    t = col.type
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return encode_string_plane(col, cfg)
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return encode_binary_plane(col, cfg)
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        if pa.types.is_int32(t.value_type):
+            return encode_list_plane(col, cfg)
+        return encode_list_generic(col, cfg)
+    if pa.types.is_floating(t):
+        arr = col.to_numpy(zero_copy_only=False)
+        return encode_float_plane(np.ascontiguousarray(arr), cfg)
+    if pa.types.is_integer(t) or pa.types.is_boolean(t):
+        arr = col.to_numpy(zero_copy_only=False)
+        return encode_int_plane(np.ascontiguousarray(arr), cfg)
+    raise TypeError(f"unsupported column type {t}")
 
 
 def pack_chunk(batch: pa.RecordBatch, cfg: EncodeConfig) -> tuple[bytes, dict]:
@@ -436,10 +543,7 @@ def pack_chunk(batch: pa.RecordBatch, cfg: EncodeConfig) -> tuple[bytes, dict]:
         if col.null_count > 0:
             frame = _encode_with_nulls(col, cfg)
         else:
-            enc = COLTYPE_ENCODERS.get(_coltype_name(col.type))
-            if enc is None:
-                raise TypeError(f"unsupported column type {col.type} for {name!r}")
-            frame = enc(col, cfg)
+            frame = encode_value_plane(col, cfg)
         nb = name.encode()
         out += struct.pack("<H", len(nb)) + nb
         out += struct.pack("<QI", len(frame), zlib.crc32(frame))
@@ -450,13 +554,20 @@ def pack_chunk(batch: pa.RecordBatch, cfg: EncodeConfig) -> tuple[bytes, dict]:
 
 def _encode_with_nulls(col: pa.Array, cfg: EncodeConfig) -> bytes:
     mask = ~np.asarray(col.is_null())
-    filled = col.fill_null(
-        "" if pa.types.is_string(col.type) else 0) if not pa.types.is_list(
-        col.type) else col.fill_null([])
-    enc = COLTYPE_ENCODERS[_coltype_name(col.type)]
+    t = col.type
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        fill = []
+    elif pa.types.is_string(t) or pa.types.is_large_string(t):
+        fill = ""
+    elif pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        fill = b""
+    else:
+        fill = 0
+    filled = col.fill_null(fill)
     validity_frame = encode_int_plane(mask.astype(np.int64), cfg,
                                       allow_zstd=False)
-    return _frame(NULLS, len(col), validity_frame + enc(filled, cfg))
+    return _frame(NULLS, len(col), validity_frame +
+                  encode_value_plane(filled, cfg))
 
 
 def unpack_chunk(blob: bytes | memoryview,

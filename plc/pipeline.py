@@ -88,14 +88,21 @@ def _data_path(dst: str) -> str:
     return os.path.join(dst, "data")
 
 
+def _weight_col(df: DataFrame) -> str:
+    """Row-weight column for chunk caps and skew: n_tok for token tables,
+    the synthetic _w=1 column for any other table shape."""
+    return "n_tok" if "n_tok" in df.columns else "_w"
+
+
 def build_plan(spark: SparkSession, df: DataFrame, cfg: PipelineConfig) -> dict:
     """Stats pre-pass (P2/P3 planning): sampled range bounds on doc_id plus
     the straggler threshold τ. One sampled scan; all driver-side state is
     O(num_partitions)."""
+    wcol = _weight_col(df)
     total = df.count()  # parquet sources answer this from footer metadata
     n_parts = cfg.num_partitions or max(8, min(1024, total // 250_000 + 1))
     frac = min(1.0, cfg.bounds_sample / max(total, 1))
-    rows = df.select("doc_id", "n_tok").sample(frac, seed=42).collect()
+    rows = df.select("doc_id", wcol).sample(frac, seed=42).collect()
     sample = sorted(r[0] for r in rows)
     bounds = []
     if len(sample) >= n_parts > 1:
@@ -105,13 +112,15 @@ def build_plan(spark: SparkSession, df: DataFrame, cfg: PipelineConfig) -> dict:
     if cfg.straggler_parts > 0 and rows:
         tau = int(np.quantile(np.array([r[1] for r in rows], dtype=np.int64),
                               cfg.skew_quantile, method="lower"))
+    stored = df.drop("_w") if wcol == "_w" else df
     return {
         "n_parts": len(bounds) + 1,
         "bounds": bounds,
         "tau": tau,
+        "weight_col": wcol,
         "straggler_parts": cfg.straggler_parts,
         "total_rows": total,
-        "schema": df.schema.jsonValue(),
+        "schema": stored.schema.jsonValue(),
     }
 
 
@@ -171,10 +180,13 @@ def _make_encoder(plan: dict, cfg: PipelineConfig):
             buf, buf_tokens = [], 0
             return out
 
+        wcol = plan.get("weight_col", "n_tok")
         for batch in batches:
             docs = batch.column("doc_id").to_numpy(zero_copy_only=False)
-            n_tok = batch.column("n_tok").to_numpy(zero_copy_only=False) \
+            n_tok = batch.column(wcol).to_numpy(zero_copy_only=False) \
                 .astype(np.int64)
+            if wcol == "_w":
+                batch = batch.drop_columns(["_w"])
             part = (np.searchsorted(bounds, docs.astype(str), side="right")
                     if bounds.size else np.zeros(len(docs), np.int64))
             # straggler routing comes in as the JVM-computed _sbucket column
@@ -239,8 +251,9 @@ def _sbucket_col(plan: dict):
     tau, k = plan["tau"], plan["straggler_parts"]
     if k <= 0:
         return F.lit(0).cast("int")
+    wcol = plan.get("weight_col", "n_tok")
     salt = F.pmod(F.crc32(F.col("doc_id").cast("binary")), F.lit(k))
-    return (F.when(F.col("n_tok") > tau, salt + 1).otherwise(F.lit(0))
+    return (F.when(F.col(wcol) > tau, salt + 1).otherwise(F.lit(0))
             .cast("int"))
 
 
@@ -250,9 +263,10 @@ def _pending_predicate(plan: dict, committed: set[int]):
     straggler parts become (n_tok > τ AND crc32 salt ∈ pending)."""
     bounds, tau = plan["bounds"], plan["tau"]
     n_parts, k = plan["n_parts"], plan["straggler_parts"]
+    wcol = plan.get("weight_col", "n_tok")
     preds = []
     pending_normal = [i for i in range(n_parts) if i not in committed]
-    not_straggler = (F.col("n_tok") <= tau) if k > 0 else F.lit(True)
+    not_straggler = (F.col(wcol) <= tau) if k > 0 else F.lit(True)
     # merge consecutive part ids into single range predicates
     runs: list[list[int]] = []
     for i in pending_normal:
@@ -270,7 +284,7 @@ def _pending_predicate(plan: dict, committed: set[int]):
     pending_stragglers = [j for j in range(k) if n_parts + j not in committed]
     if pending_stragglers and k > 0:
         salt = F.pmod(F.crc32(F.col("doc_id").cast("binary")), F.lit(k))
-        preds.append((F.col("n_tok") > tau) & salt.isin(pending_stragglers))
+        preds.append((F.col(wcol) > tau) & salt.isin(pending_stragglers))
     if not preds:
         return F.lit(False)
     return reduce(lambda a, b: a | b, preds)
@@ -290,9 +304,14 @@ def encode(spark: SparkSession, df: DataFrame, dst: str,
     from plc.util import ensure_shipped
 
     ensure_shipped(spark)
-    if "n_tok" not in df.columns and "tokens" in df.columns:
-        df = df.withColumn("n_tok", F.when(F.col("tokens").isNull(), 0)
-                           .otherwise(F.size("tokens")).cast("int"))
+    if "n_tok" not in df.columns:
+        if "tokens" in df.columns:
+            df = df.withColumn("n_tok", F.when(F.col("tokens").isNull(), 0)
+                               .otherwise(F.size("tokens")).cast("int"))
+        else:
+            # generic (non-token) table: unit row weight, not stored — the
+            # chunk cap then counts rows and skew salting is a no-op
+            df = df.withColumn("_w", F.lit(1))
 
     from plc import fsio
 

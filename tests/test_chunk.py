@@ -136,3 +136,61 @@ def test_nulls_in_list_column():
     out = unpack_chunk(blob)
     assert out.column("tokens").to_pylist() == [[1, 2], None, []]
     assert codecs["tokens"] == "nulls"
+
+
+def test_float_list_binary_planes_roundtrip():
+    """Round-trip every new plane type: float32/float64 scalars, float and
+    int64 lists (embeddings shape), opaque binary, bool, small ints."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    n = 1500
+    emb = rng.normal(0, 0.15, (n, 64)).astype(np.float32)
+    batch = pa.RecordBatch.from_pydict({
+        "vec_id": pa.array(np.arange(n)),
+        "embedding": pa.array(list(emb), pa.list_(pa.float32())),
+        "score": pa.array(rng.normal(0, 1, n)),
+        "payload": pa.array([bytes(rng.integers(0, 256, int(l)))
+                             for l in rng.integers(0, 200, n)], pa.binary()),
+        "flags": pa.array(rng.integers(0, 2, n).astype(bool)),
+        "small": pa.array(rng.integers(0, 100, n).astype(np.int16)),
+        "dlist": pa.array([[float(i), i * 2.5] for i in range(n)],
+                          pa.list_(pa.float64())),
+        "ilist64": pa.array([[int(i) * 10**10] for i in range(n)],
+                            pa.list_(pa.int64())),
+    })
+    blob, codecs = pack_chunk(batch, EncodeConfig())
+    out = unpack_chunk(blob)
+    for name in batch.schema.names:
+        assert out.column(name).equals(batch.column(name)), name
+    assert codecs["embedding"] == "listgen"
+    assert codecs["payload"] == "binary"
+
+
+def test_byteplane_beats_plain_zstd_on_embeddings():
+    """The float byte-plane split must compress normal-ish embeddings below
+    raw float bytes (plain zstd on interleaved floats cannot)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    emb = rng.normal(0, 0.15, (4000, 64)).astype(np.float32)
+    batch = pa.RecordBatch.from_pydict({
+        "embedding": pa.array(list(emb), pa.list_(pa.float32()))})
+    blob, _ = pack_chunk(batch, EncodeConfig())
+    assert len(blob) < emb.nbytes * 0.95, (len(blob), emb.nbytes)
+
+
+def test_nulls_in_new_plane_types():
+    import numpy as np
+
+    batch = pa.RecordBatch.from_pydict({
+        "e": pa.array([[1.0, 2.0], None, [3.0]], pa.list_(pa.float32())),
+        "b": pa.array([b"xx", None, b""], pa.binary()),
+        "f": pa.array([1.5, None, 2.5], pa.float32()),
+        "i": pa.array([1, None, 3], pa.int16()),
+        "elem": pa.array([[1.0, None], [None], [2.0]], pa.list_(pa.float64())),
+    })
+    blob, codecs = pack_chunk(batch, CFG)
+    out = unpack_chunk(blob)
+    for name in batch.schema.names:
+        assert out.column(name).equals(batch.column(name)), name
