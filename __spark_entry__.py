@@ -199,6 +199,124 @@ def _topk_orders(spark, sf):
             .orderBy(F.desc("price"), "o_orderkey").limit(25))
 
 
+# --------------------------------------------------------------------------
+# LLM-data-pipeline operators: dedup / similarity / text analysis
+# (plc.dedup, plc.similarity, plc.textstats — each oracled in DuckDB by
+# regenerating the same deterministic constants)
+# --------------------------------------------------------------------------
+
+
+def _dedup_exact_stats(spark, sf):
+    """Exact dedup statistics per source (hash-groupBy, one shuffle)."""
+    from plc.dedup import exact_dedup_stats
+
+    return exact_dedup_stats(_t(spark, sf, "documents"), "text", "doc_id",
+                             "source")
+
+
+def _dedup_minhash_pairs(spark, sf):
+    """MinHash-LSH near-dup candidates + exact-Jaccard verification over
+    the documents-derived tokens view (shingle k=3, H=8, 4 bands)."""
+    from plc.dedup import candidate_pairs, jaccard_verify
+
+    tv = tokens_view(spark, sf)
+    pairs = candidate_pairs(tv, "doc_id", "tokens", num_hashes=8, bands=4,
+                            seed=42, shingle_k=3)
+    ver = jaccard_verify(pairs, tv, "doc_id", "tokens", shingle_k=3,
+                         threshold=0.5)
+    return (pairs.agg(F.count("*").alias("n_candidates"))
+            .crossJoin(ver.agg(F.count("*").alias("n_verified"),
+                               F.round(F.sum("jaccard"), 4)
+                               .alias("sum_jaccard"))))
+
+
+def _knn_cosine_topk(spark, sf):
+    """Exact top-5 cosine neighbours for 3 query vectors (brute-force
+    baseline; broadcast query side, partitioned ranking window)."""
+    from plc.similarity import brute_force_topk
+
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter("vec_id < 3").select(F.col("vec_id").alias("query_id"),
+                                        "embedding")
+    out = brute_force_topk(emb, q, k=5)
+    return out.select("query_id", "vec_id",
+                      F.col("cos").alias("cos_sim"),
+                      F.col("rank").cast("bigint").alias("rnk"))
+
+
+def _ann_lsh_buckets(spark, sf):
+    """Random-hyperplane LSH bucket histogram (12 planes over 64 dims)."""
+    from plc.similarity import hyperplane_signature
+
+    emb = _t(spark, sf, "embeddings")
+    sig = emb.select(hyperplane_signature(
+        F.col("embedding"), dim=64, n_planes=12, seed=42).alias("sig"))
+    per = sig.groupBy("sig").agg(F.count("*").alias("c"))
+    return per.agg(F.sum("c").alias("n_rows"),
+                   F.count("*").alias("n_buckets"),
+                   F.max("c").alias("max_bucket"))
+
+
+def _embedding_near_dup(spark, sf):
+    """Embedding near-duplicate pairs (cos ≥ 0.9) via LSH bucket-local
+    self-join — never an all-pairs product."""
+    from plc.similarity import near_dup_pairs
+
+    emb = _t(spark, sf, "embeddings")
+    pairs = near_dup_pairs(emb, dim=64, threshold=0.9, n_planes=8,
+                           n_tables=1, seed=42)
+    return pairs.agg(F.count("*").alias("n_pairs"),
+                     F.max("cos").alias("max_cos"))
+
+
+def _lang_quality_profile(spark, sf):
+    """Text analysis roll-up: predicted language × quality/subword stats."""
+    from plc.textstats import text_profile
+
+    prof = text_profile(_t(spark, sf, "documents"))
+    return (prof.groupBy("lang_pred")
+            .agg(F.count("*").alias("n_docs"),
+                 F.round(F.sum("quality"), 4).alias("sum_quality"),
+                 F.sum("n_subwords").alias("total_subwords")))
+
+
+def _fingerprint_stats(spark, sf):
+    """Rolling-hash document fingerprints: uniqueness + extrema."""
+    from plc.textstats import fingerprint
+
+    fp = _t(spark, sf, "documents").select(fingerprint("text").alias("fp"))
+    return fp.agg(F.count("*").alias("n"),
+                  F.countDistinct("fp").alias("n_unique_fp"),
+                  F.min("fp").alias("min_fp"), F.max("fp").alias("max_fp"))
+
+
+def _dedup_minhash_survivors(spark, sf):
+    """Non-SQL: full near-dup removal (LSH → verify → connected components
+    → keep min doc_id per cluster). Rows-only driver check; planted-dup
+    correctness is covered by tests/test_dedup.py."""
+    from plc.dedup import dedup_minhash
+
+    tv = tokens_view(spark, sf)
+    out = dedup_minhash(tv, "doc_id", "tokens", num_hashes=8, bands=4,
+                        seed=42, shingle_k=3, threshold=0.7)
+    return out.select("doc_id", "n_tok", "source").orderBy("doc_id")
+
+
+def _encode_embeddings(spark, sf):
+    """Non-SQL: encode the embeddings table (float32 list planes) through
+    the full pipeline; returns the lineage manifest (rows-only check)."""
+    from plc.pipeline import PipelineConfig, encode, _manifest_path
+
+    emb = _t(spark, sf, "embeddings").select(
+        F.format_string("vec-%010d", "vec_id").alias("doc_id"),
+        "vec_id", "embedding", "label")
+    dst = tempfile.mkdtemp(prefix="plc_qe_")
+    encode(spark, emb, dst, PipelineConfig(num_partitions=4,
+                                           straggler_parts=0),
+           mode="overwrite")
+    return spark.read.parquet(_manifest_path(dst)).orderBy("part_id")
+
+
 def _encode_manifest(spark, sf):
     """Non-SQL: full pipeline on the sf's documents-derived tokens view;
     returns the lineage manifest (rows-only driver check)."""
@@ -228,6 +346,200 @@ def _roundtrip_check(spark, sf):
         "raw_bytes bigint, enc_bytes bigint")
 
 
+# --------------------------------------------------------------------------
+# oracle SQL generators — regenerate the engine's deterministic constants
+# (hash params, shingle weights, hyperplanes, stopwords) into DuckDB SQL so
+# both sides compute bit-identical integers/doubles
+# --------------------------------------------------------------------------
+
+_TOKENS_SQL = ("list_transform(list_filter(string_split(text, ' '), "
+               "w -> w <> ''), w -> CAST((length(w) * 7 + ascii(w)) % 50257 "
+               "AS INTEGER))")
+
+
+def _minhash_pairs_sql() -> str:
+    from plc.dedup import (MERSENNE_P, SHINGLE_MOD, hash_params,
+                           shingle_weights)
+
+    ws = shingle_weights(3)
+    shingle = (f"list_transform(range(greatest(len(tokens) - 2, 0)), i -> "
+               f"(CAST(tokens[i+1] AS BIGINT) * {ws[0]} + "
+               f"CAST(tokens[i+2] AS BIGINT) * {ws[1]} + "
+               f"CAST(tokens[i+3] AS BIGINT) * {ws[2]}) % {SHINGLE_MOD})")
+    sig_elems = ", ".join(
+        f"coalesce(list_min(list_transform(sh, s -> (s * {a} + {b}) % "
+        f"{MERSENNE_P})), {MERSENNE_P})" for a, b in hash_params(8, 42))
+    band_rows = "\n            UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"sig[{2 * b + 1}] * 1000003 + sig[{2 * b + 2}] AS bkey FROM sigs"
+        for b in range(4))
+    return f"""
+        WITH docs AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                             {_TOKENS_SQL} AS tokens FROM documents),
+        shs AS (SELECT doc_id, {shingle} AS sh FROM docs),
+        sigs AS (SELECT doc_id, [{sig_elems}] AS sig,
+                        list_distinct(sh) AS shset FROM shs),
+        bands AS ({band_rows}),
+        cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.bkey = b.bkey
+                  AND a.doc_id < b.doc_id),
+        ver AS (SELECT CAST(len(list_filter(a.shset,
+                                x -> list_contains(b.shset, x))) AS DOUBLE)
+                           AS inter,
+                       CAST(len(a.shset) + len(b.shset) AS DOUBLE) AS lens
+                FROM cand c JOIN sigs a ON a.doc_id = c.da
+                            JOIN sigs b ON b.doc_id = c.db),
+        jacs AS (SELECT CASE WHEN lens - inter > 0
+                             THEN inter / (lens - inter) ELSE 1.0 END AS jac
+                 FROM ver)
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+               CAST(count(*) AS BIGINT) AS n_verified,
+               round(sum(jac), 4) AS sum_jaccard
+        FROM jacs WHERE jac >= 0.5
+    """
+
+
+def _dot_sql(a: str, b: str, n: int = 64) -> str:
+    return (f"list_reduce(list_prepend(0.0, list_transform(range({n}), "
+            f"i -> CAST({a}[i+1] AS DOUBLE) * CAST({b}[i+1] AS DOUBLE))), "
+            f"(x, y) -> x + y)")
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (f"{_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)}) * "
+            f"sqrt({_dot_sql(b, b)}))")
+
+
+def _knn_sql() -> str:
+    return f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                   FROM embeddings WHERE vec_id < 3),
+        scored AS (SELECT q.query_id, e.vec_id,
+                          {_cos_sql('q.qv', 'e.embedding')} AS c
+                   FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+        ranked AS (SELECT query_id, vec_id, c,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY c DESC, vec_id) AS rnk
+                   FROM scored)
+        SELECT query_id, vec_id, round(c, 4) AS cos_sim, rnk
+        FROM ranked WHERE rnk <= 5
+    """
+
+
+def _hyperplane_sig_sql(n_planes: int, seed: int) -> str:
+    from plc.similarity import hyperplane_weights
+
+    planes = hyperplane_weights(n_planes, 64, seed)
+    terms = []
+    for p, w in enumerate(planes):
+        lits = ", ".join(f"{float(x)}" for x in w)
+        dot = (f"list_reduce(list_prepend(0.0, list_transform(range(64), "
+               f"i -> CAST(embedding[i+1] AS DOUBLE) * ([{lits}])[i+1])), "
+               f"(x, y) -> x + y)")
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def _ann_lsh_buckets_sql() -> str:
+    return f"""
+        WITH sigs AS (SELECT {_hyperplane_sig_sql(12, 42)} AS sig
+                      FROM embeddings),
+        per AS (SELECT sig, count(*) AS c FROM sigs GROUP BY sig)
+        SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+               count(*) AS n_buckets, max(c) AS max_bucket
+        FROM per
+    """
+
+
+def _embedding_near_dup_sql() -> str:
+    return f"""
+        WITH sigs AS (SELECT vec_id, embedding,
+                             {_hyperplane_sig_sql(8, 42)} AS sig
+                      FROM embeddings),
+        pairs AS (SELECT {_cos_sql('a.embedding', 'b.embedding')} AS c
+                  FROM sigs a JOIN sigs b
+                    ON a.sig = b.sig AND a.vec_id < b.vec_id)
+        SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+               round(max(c), 4) AS max_cos
+        FROM pairs WHERE c >= 0.9
+    """
+
+
+def _lang_quality_sql() -> str:
+    from plc.textstats import STOPWORDS
+
+    def lst(words):
+        return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+    score = {lang: (f"(CAST(len(list_filter(dw, w -> list_contains("
+                    f"{lst(sw)}, w))) AS DOUBLE) / "
+                    f"CAST(greatest(len(dw), 1) AS DOUBLE))")
+             for lang, sw in STOPWORDS.items()}
+    order = list(STOPWORDS)
+    cases = []
+    for i, lang in enumerate(order):
+        conds = [f"{score[lang]} > 0"]
+        conds += [f"{score[lang]} > {score[p]}" for p in order[:i]]
+        conds += [f"{score[lang]} >= {score[nx]}" for nx in order[i + 1:]]
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    lang_case = "CASE " + " ".join(cases) + " ELSE 'und' END"
+    all_stop = lst(sorted({w for sw in STOPWORDS.values() for w in sw}))
+    quality = f"""round(
+        0.3 * least(len(ws) / 50.0, 1.0)
+      + 0.2 * least(CAST(len(list_filter(dw, w -> list_contains({all_stop},
+                    w))) AS DOUBLE) * 10.0
+                    / CAST(greatest(len(ws), 1) AS DOUBLE), 1.0)
+      + 0.3 * (CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g'))
+               AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE))
+      + 0.2 * (CASE WHEN mwl >= 3.0 AND mwl <= 8.0 THEN 1.0 ELSE 0.0 END),
+      4)"""
+    return f"""
+        WITH base AS (
+            SELECT text,
+                   list_filter(string_split(text, ' '), w -> w <> '') AS ws
+            FROM documents),
+        d2 AS (SELECT text, ws, list_distinct(ws) AS dw,
+                      CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                           list_transform(ws, w -> CAST(length(w) AS BIGINT))),
+                           (a, x) -> a + x) AS DOUBLE)
+                      / CAST(greatest(len(ws), 1) AS DOUBLE) AS mwl,
+                      list_reduce(list_prepend(CAST(0 AS BIGINT),
+                           list_transform(ws,
+                               w -> CAST(ceil(length(w) / 4.0) AS BIGINT))),
+                           (a, x) -> a + x) AS n_subwords
+               FROM base),
+        prof AS (SELECT {lang_case} AS lang_pred, {quality} AS quality,
+                        n_subwords
+                 FROM d2)
+        SELECT lang_pred, count(*) AS n_docs,
+               round(sum(quality), 4) AS sum_quality,
+               CAST(sum(n_subwords) AS BIGINT) AS total_subwords
+        FROM prof GROUP BY lang_pred
+    """
+
+
+def _fingerprint_sql() -> str:
+    from plc.textstats import FP_BASE, FP_MOD
+
+    wh = (f"(CAST(length(w) AS BIGINT) * 2654435761 + "
+          f"CAST(ascii(w) AS BIGINT) * 97 + "
+          f"CAST(ascii(substring(w, length(w), 1)) AS BIGINT) * 31) "
+          f"% {FP_MOD}")
+    return f"""
+        WITH fps AS (
+            SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(list_filter(string_split(text, ' '),
+                                                  w -> w <> ''),
+                                      w -> {wh})),
+                       (acc, x) -> (acc * {FP_BASE} + x) % {FP_MOD}) AS fp
+            FROM documents)
+        SELECT count(*) AS n, count(DISTINCT fp) AS n_unique_fp,
+               min(fp) AS min_fp, max(fp) AS max_fp
+        FROM fps
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stats_cardinality": _stats_cardinality,
@@ -245,6 +557,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": _embedding_norms,
         "events_tumbling_count": _events_tumbling_count,
         "topk_orders": _topk_orders,
+        "dedup_exact_stats": _dedup_exact_stats,
+        "dedup_minhash_pairs": _dedup_minhash_pairs,
+        "knn_cosine_topk": _knn_cosine_topk,
+        "ann_lsh_buckets": _ann_lsh_buckets,
+        "embedding_near_dup": _embedding_near_dup,
+        "lang_quality_profile": _lang_quality_profile,
+        "fingerprint_stats": _fingerprint_stats,
+        "dedup_minhash_survivors": _dedup_minhash_survivors,
+        "encode_embeddings": _encode_embeddings,
         "encode_manifest": _encode_manifest,
         "roundtrip_check": _roundtrip_check,
     }
@@ -348,6 +669,20 @@ def oracle_sql() -> dict[str, str]:
                    o_orderpriority
             FROM orders ORDER BY price DESC, o_orderkey LIMIT 25
         """,
-        # encode_manifest / roundtrip_check: not SQL-expressible (custom
-        # columnar codecs inside mapInArrow) → rows-only driver check.
+        "dedup_exact_stats": """
+            SELECT source, count(*) AS n_rows,
+                   CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+                   CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT)
+                       AS n_dup_rows
+            FROM documents GROUP BY source
+        """,
+        "dedup_minhash_pairs": _minhash_pairs_sql(),
+        "knn_cosine_topk": _knn_sql(),
+        "ann_lsh_buckets": _ann_lsh_buckets_sql(),
+        "embedding_near_dup": _embedding_near_dup_sql(),
+        "lang_quality_profile": _lang_quality_sql(),
+        "fingerprint_stats": _fingerprint_sql(),
+        # encode_manifest / roundtrip_check / encode_embeddings /
+        # dedup_minhash_survivors: not SQL-expressible (custom columnar
+        # codecs / iterative connected components) → rows-only driver check.
     }

@@ -1,0 +1,241 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Everything here is pure DataFrame expressions (JVM higher-order functions:
+``transform`` / ``aggregate`` / ``array_min`` — zero Python UDFs), so the
+hot path stays inside whole-stage codegen and scales with executors:
+
+- :func:`exact_dedup` — content-hash groupBy, keep min key. One shuffle on
+  the 128-bit content hash; survivors join back broadcast-free via the hash.
+- :func:`shingle_col` / :func:`minhash_signature` — k-token shingles and an
+  H-permutation MinHash sketch (Broder, "On the resemblance and containment
+  of documents", 1997) with universal hashes ``(a·x + b) mod p``.
+- :func:`lsh_band_keys` / :func:`candidate_pairs` — banded LSH: only rows
+  sharing a band bucket are ever compared (shuffle on the band key, never
+  all-pairs — the 100 TB-safe property).
+- :func:`jaccard_verify` — exact shingle-set Jaccard on candidates only.
+- :func:`simhash_signature` — 32-bit SimHash (Charikar, STOC 2002) for
+  Hamming-style near-dup, banded by byte for candidate generation.
+- :func:`dedup_minhash` — end-to-end: candidates → verify → connected
+  components by iterative min-label propagation (O(log n) joins) → keep
+  one row per duplicate cluster.
+
+Determinism: hash-function parameters derive from a seed via fixed integer
+arithmetic, so signatures are reproducible across runs and engines (the
+DuckDB oracles in ``__spark_entry__`` recompute them bit-identically).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+MERSENNE_P = 4_294_967_291        # largest 32-bit prime
+SHINGLE_MOD = 1 << 30
+_W1, _W2 = 1_299_721, 31_337      # shingle mixing weights (primes)
+
+
+def hash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for universal hashing — plain integer
+    arithmetic so any engine (or SQL oracle) can regenerate them."""
+    out = []
+    for j in range(num_hashes):
+        a = (2_654_435_761 * (seed + j + 1) + 97) % MERSENNE_P
+        b = (40_503 * (seed + j + 1) + 12_345) % MERSENNE_P
+        out.append((a or 1, b))
+    return out
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, content_col: str, key_col: str) -> DataFrame:
+    """Keep exactly one row (min key) per distinct content value.
+
+    Plan: md5 the content, min_by over a groupBy on the hash — one shuffle,
+    map-side partial agg, no self-join. At 10^12 rows the hash groupBy is
+    the canonical exact-dedup plan."""
+    h = F.md5(F.col(content_col).cast("string")).alias("_h")
+    keep = (df.select(h, key_col)
+            .groupBy("_h").agg(F.min(key_col).alias(key_col)))
+    return df.join(keep, key_col, "left_semi")
+
+
+def exact_dedup_stats(df: DataFrame, content_col: str, key_col: str,
+                      group_col: str | None = None) -> DataFrame:
+    """Duplicate statistics (per group): rows, distinct contents, dup rows."""
+    h = F.md5(F.col(content_col).cast("string"))
+    gcols = [group_col] if group_col else []
+    return (df.select(*gcols, h.alias("_h"))
+            .groupBy(*gcols)
+            .agg(F.count("*").alias("n_rows"),
+                 F.countDistinct("_h").alias("n_distinct"),
+                 (F.count("*") - F.countDistinct("_h")).alias("n_dup_rows")))
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+
+def shingle_weights(k: int) -> list[int]:
+    """Mixing weight of token position j inside a k-shingle — exposed so
+    SQL oracles can regenerate shingles bit-identically."""
+    return [pow(_W1, k - 1 - j, SHINGLE_MOD) if j < k - 1
+            else _W2 % SHINGLE_MOD for j in range(k)]
+
+
+def shingle_col(tokens_col: str | Column, k: int = 3,
+                modulus: int = SHINGLE_MOD) -> Column:
+    """k-token shingles as int64 hashes (vectorized JVM expression).
+
+    shingle_i = Σ_j t[i+j]·w_j mod modulus — tokens < 2^32 and weights
+    < 2^30 keep every intermediate < 2^63, so int64 arithmetic is exact."""
+    t = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    ws = shingle_weights(k)
+    n = F.size(t) - (k - 1)
+    idx = F.when(n > 0, F.sequence(F.lit(0), n - 1)) \
+        .otherwise(F.array().cast("array<int>"))
+
+    def sh(i):
+        expr = F.lit(0).cast("bigint")
+        for j, w in enumerate(ws):
+            expr = expr + F.element_at(t, i + j + 1).cast("bigint") * F.lit(w)
+        return expr % F.lit(modulus)
+
+    return F.transform(idx, sh)
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 8,
+                      seed: int = 42) -> Column:
+    """MinHash sketch: array of H minima of universal hashes over the
+    shingle set. Empty docs get the sentinel p (never collides)."""
+    sigs = []
+    for a, b in hash_params(num_hashes, seed):
+        m = F.array_min(F.transform(
+            shingles, lambda s: (s * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P)))
+        sigs.append(F.coalesce(m, F.lit(MERSENNE_P)))
+    return F.array(*sigs)
+
+
+def lsh_band_keys(sig: Column, bands: int, rows: int) -> Column:
+    """Array of per-band bucket keys: polynomial combine of each band's
+    signature slice (deterministic, engine-portable — no builtin hash())."""
+    keys = []
+    for b in range(bands):
+        sl = F.slice(sig, b * rows + 1, rows)
+        key = F.aggregate(
+            sl, F.lit(0).cast("bigint"),
+            lambda acc, x: (acc * F.lit(1_000_003) + x) % F.lit(2**61 - 1))
+        keys.append(key)
+    return F.array(*keys)
+
+
+def candidate_pairs(df: DataFrame, key_col: str, tokens_col: str = "tokens",
+                    num_hashes: int = 8, bands: int = 4, seed: int = 42,
+                    shingle_k: int = 3) -> DataFrame:
+    """LSH candidate pairs (key_a < key_b): explode band keys, self-join on
+    (band index, band key). The join shuffles on the band key — bucket-local
+    comparisons only, never an all-pairs product."""
+    rows = num_hashes // bands
+    sig = minhash_signature(shingle_col(tokens_col, k=shingle_k),
+                            num_hashes, seed)
+    banded = (df.select(F.col(key_col).alias("k"),
+                        lsh_band_keys(sig, bands, rows).alias("bk"))
+              .select("k", F.posexplode("bk").alias("band", "bkey")))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band")) &
+                      (F.col("a.bkey") == F.col("b.bkey")) &
+                      (F.col("a.k") < F.col("b.k")))
+            .select(F.col("a.k").alias("key_a"), F.col("b.k").alias("key_b"))
+            .distinct())
+
+
+def jaccard_verify(pairs: DataFrame, df: DataFrame, key_col: str,
+                   tokens_col: str = "tokens", shingle_k: int = 3,
+                   threshold: float = 0.5) -> DataFrame:
+    """Exact shingle-set Jaccard on candidate pairs; keeps pairs ≥ threshold.
+    Verification cost is O(candidates), not O(n²)."""
+    sh = df.select(F.col(key_col).alias("k"),
+                   F.array_distinct(shingle_col(tokens_col, k=shingle_k))
+                   .alias("sh"))
+    j = (pairs
+         .join(sh.select(F.col("k").alias("key_a"), F.col("sh").alias("sa")),
+               "key_a")
+         .join(sh.select(F.col("k").alias("key_b"), F.col("sh").alias("sb")),
+               "key_b"))
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    union = F.size(F.array_union("sa", "sb")).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(1.0))
+    return (j.select("key_a", "key_b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+
+def simhash_signature(tokens_col: str | Column, bits: int = 32,
+                      seed: int = 42) -> Column:
+    """32-bit SimHash over token hashes: bit b is the sign of the sum of
+    ±1 votes from each distinct token's hash bit b. Pure JVM expressions."""
+    t = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    dt = F.array_distinct(t)
+    a, b0 = hash_params(1, seed)[0]
+    h = lambda x: (x.cast("bigint") * F.lit(a) + F.lit(b0)) % F.lit(MERSENNE_P)
+    def bit_vote(b):
+        return lambda acc, x: acc + (F.shiftright(h(x), b) % 2) * 2 - 1
+
+    out = F.lit(0).cast("bigint")
+    for b in range(bits):
+        vote = F.aggregate(dt, F.lit(0).cast("bigint"), bit_vote(b))
+        out = out + F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return out
+
+
+# --------------------------------------------------------------------------
+# end-to-end near-dup removal
+# --------------------------------------------------------------------------
+
+
+def dedup_minhash(df: DataFrame, key_col: str, tokens_col: str = "tokens",
+                  num_hashes: int = 8, bands: int = 4, seed: int = 42,
+                  shingle_k: int = 3, threshold: float = 0.7,
+                  max_iter: int = 20) -> DataFrame:
+    """Remove near-duplicates: keep the min-key row of every duplicate
+    cluster (connected component of verified pairs).
+
+    Components use iterative min-label propagation over the edge list —
+    each round is two hash joins + an aggregate, converging in O(log n)
+    rounds (diameter of dup clusters is tiny in practice). localCheckpoint
+    per round truncates the plan lineage so the loop stays executable at
+    any scale."""
+    pairs = candidate_pairs(df, key_col, tokens_col, num_hashes, bands,
+                            seed, shingle_k)
+    edges = jaccard_verify(pairs, df, key_col, tokens_col, shingle_k,
+                           threshold).select("key_a", "key_b")
+    edges = edges.unionByName(
+        edges.select(F.col("key_b").alias("key_a"),
+                     F.col("key_a").alias("key_b"))).localCheckpoint()
+    labels = (edges.select(F.col("key_a").alias("k"))
+              .distinct().withColumn("comp", F.col("k")))
+    for _ in range(max_iter):
+        nbr_min = (edges.join(labels, edges.key_b == labels.k)
+                   .groupBy("key_a").agg(F.min("comp").alias("nbr_comp")))
+        new_labels = (labels.join(nbr_min, labels.k == nbr_min.key_a, "left")
+                      .select(F.col("k"),
+                              F.least(F.col("comp"),
+                                      F.coalesce("nbr_comp", F.col("comp")))
+                              .alias("comp"))).localCheckpoint()
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "k")
+                   .filter(F.col("n.comp") != F.col("o.comp")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    # drop every clustered row that is not its component's min key
+    losers = labels.filter(F.col("k") != F.col("comp")).select("k")
+    return df.join(losers.withColumnRenamed("k", key_col), key_col,
+                   "left_anti")

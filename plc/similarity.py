@@ -1,0 +1,143 @@
+"""Embedding similarity search (ANN) as pure DataFrame expressions.
+
+- :func:`cosine` — strictly left-to-right double accumulation via
+  ``zip_with`` + ``aggregate`` (JVM, whole-stage codegen; and bit-identical
+  to any engine that folds the same way, which the SQL oracles rely on).
+- :func:`brute_force_topk` — exact top-k: broadcast the (small) query side,
+  score every corpus row, per-query partitioned window for the top-k. The
+  baseline and the recall yardstick.
+- :func:`hyperplane_signature` / :func:`ann_topk` — random-hyperplane LSH
+  (Charikar, STOC 2002): sign-bit buckets from deterministic integer
+  hyperplanes; candidates = bucket collisions across T tables, scored
+  exactly. The scale path: the corpus is scanned once to bucket, then each
+  query touches only its buckets — never the full corpus per query.
+- :func:`near_dup_pairs` — embedding near-duplicate pairs: bucket-local
+  self-join + exact cosine filter (the embedding analogue of MinHash-LSH
+  dedup; never all-pairs).
+
+Hyperplane weights are derived from fixed integer arithmetic (no RNG), so
+signatures are reproducible across engines — the driver's DuckDB oracles
+recompute them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+_WSPAN = 2_000_001  # hyperplane weights in [-1e6, 1e6]
+
+
+def hyperplane_weights(n_planes: int, dim: int, seed: int = 42
+                       ) -> list[list[int]]:
+    """Deterministic integer hyperplanes (plane-major). sha256-mixed so the
+    planes are independent pseudo-random directions (a linear formula here
+    correlates planes and destroys LSH bucket quality); the weights are
+    materialized as literals into both the Spark expressions and the SQL
+    oracles, so any deterministic derivation is engine-portable."""
+    import hashlib
+
+    def w(p, i):
+        h = hashlib.sha256(f"plc-hp:{seed}:{p}:{i}".encode()).digest()
+        return int.from_bytes(h[:8], "little") % _WSPAN - (_WSPAN // 2)
+
+    return [[w(p, i) for i in range(dim)] for p in range(n_planes)]
+
+
+def _dot(a: Column, b: Column) -> Column:
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity with strictly sequential double accumulation."""
+    norm = lambda v: F.sqrt(F.aggregate(
+        v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    return _dot(a, b) / (norm(a) * norm(b))
+
+
+def hyperplane_signature(vec: Column, dim: int, n_planes: int = 12,
+                         seed: int = 42) -> Column:
+    """LSH bucket id: integer whose bit p is sign(vec · plane_p)."""
+    planes = hyperplane_weights(n_planes, dim, seed)
+    sig = F.lit(0).cast("bigint")
+    for p, w in enumerate(planes):
+        d = _dot(vec, F.array(*[F.lit(float(x)) for x in w]))
+        sig = sig + F.when(d >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return sig
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     qid_col: str = "query_id") -> DataFrame:
+    """Exact top-k neighbours per query. Query side is broadcast (queries
+    are small by construction); the corpus is scanned once; the ranking
+    window partitions by query — no global sort, no corpus shuffle."""
+    q = queries.select(F.col(qid_col), F.col(vec_col).alias("_qv"))
+    scored = (corpus.join(F.broadcast(q),
+                          F.col(qid_col) != F.col(id_col))  # skip self
+              .withColumn("cos", cosine(F.col("_qv"), F.col(vec_col))))
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cos"), F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(qid_col, id_col, F.round("cos", 4).alias("cos"), "rank"))
+
+
+def ann_topk(corpus: DataFrame, queries: DataFrame, k: int, dim: int,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             qid_col: str = "query_id", n_planes: int = 10,
+             n_tables: int = 3, seed: int = 42) -> DataFrame:
+    """Approximate top-k: score only corpus rows sharing an LSH bucket with
+    the query in any of ``n_tables`` independent tables.
+
+    Scale: the corpus is signed once per table (map-only), the join
+    shuffles on (table, bucket); per-query work is bucket-local. Recall is
+    tuned by n_planes (bucket width) × n_tables (probes)."""
+    def signed(df, idc):
+        sigs = [hyperplane_signature(F.col(vec_col), dim, n_planes,
+                                     seed + 1000 * t).alias(f"_s{t}")
+                for t in range(n_tables)]
+        out = df.select(F.col(idc), F.col(vec_col), *sigs)
+        tables = F.array(*[F.col(f"_s{t}") for t in range(n_tables)])
+        return (out.select(idc, vec_col,
+                           F.posexplode(tables).alias("_tbl", "_bucket")))
+
+    c = signed(corpus, id_col)
+    q = signed(queries.select(F.col(qid_col).alias("_qid"),
+                              F.col(vec_col)), "_qid") \
+        .withColumnRenamed(vec_col, "_qv")
+    cand = (c.join(q, ["_tbl", "_bucket"])
+            .filter(F.col("_qid") != F.col(id_col))
+            .select(F.col("_qid").alias(qid_col), id_col, vec_col, "_qv")
+            .distinct())
+    scored = cand.withColumn("cos", cosine(F.col("_qv"), F.col(vec_col)))
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cos"), F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(qid_col, id_col, F.round("cos", 4).alias("cos"), "rank"))
+
+
+def near_dup_pairs(corpus: DataFrame, dim: int, threshold: float = 0.9,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   n_planes: int = 10, n_tables: int = 2,
+                   seed: int = 42) -> DataFrame:
+    """Embedding near-duplicate pairs (id_a < id_b, cosine ≥ threshold):
+    bucket-local self-join across T LSH tables, exact cosine verify."""
+    sigs = [hyperplane_signature(F.col(vec_col), dim, n_planes,
+                                 seed + 1000 * t).alias(f"_s{t}")
+            for t in range(n_tables)]
+    signed = corpus.select(F.col(id_col).alias("k"),
+                           F.col(vec_col).alias("v"), *sigs)
+    banded = signed.select(
+        "k", "v", F.posexplode(F.array(
+            *[F.col(f"_s{t}") for t in range(n_tables)]))
+        .alias("_tbl", "_bucket"))
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (a.join(b, (F.col("a._tbl") == F.col("b._tbl")) &
+                       (F.col("a._bucket") == F.col("b._bucket")) &
+                       (F.col("a.k") < F.col("b.k")))
+             .select(F.col("a.k").alias("id_a"), F.col("b.k").alias("id_b"),
+                     F.col("a.v").alias("va"), F.col("b.v").alias("vb"))
+             .dropDuplicates(["id_a", "id_b"]))
+    return (pairs.withColumn("cos", cosine(F.col("va"), F.col("vb")))
+            .filter(F.col("cos") >= threshold)
+            .select("id_a", "id_b", F.round("cos", 4).alias("cos")))

@@ -1,0 +1,92 @@
+"""Dedup operator tests: planted exact and near duplicates must be found
+and removed; distinct documents must survive (plc.dedup)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from plc.dedup import (candidate_pairs, dedup_minhash, exact_dedup,
+                       exact_dedup_stats, jaccard_verify, minhash_signature,
+                       shingle_col, simhash_signature)
+
+
+def _docs_with_dups(spark, n_base=60, seed=3):
+    """n_base distinct token docs + near-dups of the first 8 (one token
+    changed) + exact dups of the next 4."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n_base):
+        toks = rng.integers(0, 5000, 60).tolist()
+        rows.append((f"doc-{i:04d}", toks))
+    for i in range(8):  # near-dups: perturb one token
+        toks = list(rows[i][1])
+        toks[30] = (toks[30] + 1) % 5000
+        rows.append((f"ndup-{i:04d}", toks))
+    for i in range(8, 12):  # exact dups
+        rows.append((f"xdup-{i:04d}", list(rows[i][1])))
+    return spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+
+
+def test_exact_dedup_keeps_min_key(spark):
+    df = _docs_with_dups(spark)
+    df = df.withColumn("text", F.concat_ws(" ", "tokens"))
+    out = exact_dedup(df, "text", "doc_id")
+    kept = {r[0] for r in out.select("doc_id").collect()}
+    assert len(kept) == 68  # 60 base + 8 near-dups (distinct texts)
+    assert not any(k.startswith("xdup") for k in kept)
+    stats = exact_dedup_stats(df, "text", "doc_id").collect()[0]
+    assert stats["n_rows"] == 72 and stats["n_dup_rows"] == 4
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark):
+    df = _docs_with_dups(spark)
+    pairs = candidate_pairs(df, "doc_id", "tokens", num_hashes=16, bands=8)
+    ver = jaccard_verify(pairs, df, "doc_id", "tokens", threshold=0.7)
+    found = {(r[0], r[1]) for r in ver.select("key_a", "key_b").collect()}
+    # every planted near-dup pair (one token of 60 changed → shingle
+    # jaccard ≈ (58-2)/ (58+2) ≥ 0.9) must be caught by ≥1 of 8 bands
+    for i in range(8):
+        assert (f"doc-{i:04d}", f"ndup-{i:04d}") in found, i
+    # exact dups too
+    for i in range(8, 12):
+        assert (f"doc-{i:04d}", f"xdup-{i:04d}") in found, i
+
+
+def test_dedup_minhash_end_to_end(spark):
+    df = _docs_with_dups(spark)
+    out = dedup_minhash(df, "doc_id", "tokens", num_hashes=16, bands=8,
+                        threshold=0.7)
+    kept = {r[0] for r in out.select("doc_id").collect()}
+    assert len(kept) == 60, f"expected the 60 cluster minima, got {len(kept)}"
+    assert all(k.startswith("doc-") for k in kept)
+
+
+def test_empty_and_short_docs_are_safe(spark):
+    df = spark.createDataFrame(
+        [("a", []), ("b", [1]), ("c", [1, 2]), ("d", [1, 2, 3])],
+        "doc_id string, tokens array<int>")
+    sh = df.select(F.size(shingle_col("tokens", k=3)).alias("n")).collect()
+    assert [r[0] for r in sh] == [0, 0, 0, 1]
+    sig = df.select(minhash_signature(shingle_col("tokens"), 4).alias("s"))
+    assert all(len(r[0]) == 4 for r in sig.collect())
+    out = dedup_minhash(df, "doc_id", "tokens", num_hashes=4, bands=2)
+    # empty-shingle docs share the sentinel signature but jaccard=1.0 only
+    # for (empty, empty) pairs; all four distinct docs must survive except
+    # identical-shingle-set ones
+    assert out.count() >= 2
+
+
+def test_simhash_similar_docs_close(spark):
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 5000, 80).tolist()
+    near = list(base)
+    near[10] = (near[10] + 1) % 5000
+    far = rng.integers(0, 5000, 80).tolist()
+    df = spark.createDataFrame(
+        [("base", base), ("near", near), ("far", far)],
+        "doc_id string, tokens array<int>")
+    sigs = {r[0]: r[1] for r in df.select(
+        "doc_id", simhash_signature("tokens").alias("s")).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(sigs["base"], sigs["near"]) < ham(sigs["base"], sigs["far"])
+    assert ham(sigs["base"], sigs["near"]) <= 6
