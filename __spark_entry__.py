@@ -71,11 +71,40 @@ def _stats_cardinality(spark, sf):
                  F.max("n_chars").alias("max_chars")))
 
 
+def _coarse_bucket(docs, nb: int = 64):
+    """Range-disjoint coarse buckets on doc_id (integer arithmetic from one
+    min/max/count aggregate). The scale-clean substitute for a global
+    window: per-bucket windows shuffle by bucket, and cross-bucket state is
+    O(nb), never O(rows)."""
+    mn, mx, n = docs.agg(F.min("doc_id"), F.max("doc_id"),
+                         F.count("*")).collect()[0]
+    span = (mx - mn + 1) if mx is not None else 1
+    coarse = F.least(F.floor(((F.col("doc_id") - F.lit(mn)) * nb) / span),
+                     F.lit(nb - 1)).cast("int")
+    return coarse, int(n)
+
+
 def _range_partition_bounds(spark, sf):
-    """P2 planning: quantile range bounds over the partition key."""
+    """P2 planning: exact ntile(8) bounds computed the distributed way —
+    per-bucket row_number + broadcast cumulative offsets (two-phase exact
+    ranking), not a single-partition global window. Results are identical
+    to ntile(8) OVER (ORDER BY doc_id); the oracle keeps that form."""
     docs = _t(spark, sf, "documents")
-    b = docs.select("doc_id", F.ntile(8).over(
-        Window.orderBy("doc_id")).alias("bucket"))
+    coarse, n = _coarse_bucket(docs)
+    d = docs.select("doc_id", coarse.alias("_c"))
+    counts = {r[0]: r[1] for r in d.groupBy("_c").count().collect()}
+    offs, acc = {}, 0
+    for c in sorted(counts):
+        offs[c], acc = acc, acc + counts[c]
+    omap = F.create_map(*[F.lit(x) for kv in offs.items() for x in kv])
+    w = Window.partitionBy("_c").orderBy("doc_id")
+    k, size, rem = 8, n // 8, n % 8
+    ranked = d.withColumn("rn", F.row_number().over(w) + omap[F.col("_c")])
+    bucket = F.when(
+        F.col("rn") <= rem * (size + 1),
+        F.expr(f"(rn - 1) div {size + 1}")).otherwise(
+        F.lit(rem) + F.expr(f"(rn - {rem * (size + 1)} - 1) div {size}"))
+    b = ranked.select("doc_id", (bucket + 1).cast("int").alias("bucket"))
     return (b.groupBy("bucket")
             .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"),
                  F.count("*").alias("n_rows")))
@@ -113,15 +142,31 @@ def _metrics_rollup(spark, sf):
 
 
 def _rle_run_lengths(spark, sf):
-    """K10 run-length statistic: runs of `source` in doc_id order."""
+    """K10 run-length statistic: runs of `source` in doc_id order, computed
+    per coarse bucket (partitioned window) with an O(buckets) boundary
+    correction — no row ever crosses a single-partition exchange."""
     docs = _t(spark, sf, "documents")
-    w = Window.orderBy("doc_id")
-    runs = docs.select(
-        F.when(F.lag("source").over(w).isNull() |
-               (F.lag("source").over(w) != F.col("source")), 1)
-        .otherwise(0).alias("is_start"))
-    return runs.agg(F.sum("is_start").alias("n_runs"),
-                    F.count("*").alias("n_rows"))
+    coarse, _ = _coarse_bucket(docs)
+    d = docs.select("doc_id", "source", coarse.alias("_c"))
+    w = Window.partitionBy("_c").orderBy("doc_id")
+    is_start = F.when(F.lag("source").over(w).isNull() |
+                      (F.lag("source").over(w) != F.col("source")),
+                      1).otherwise(0)
+    per = (d.select("_c", is_start.alias("s"))
+           .groupBy("_c").agg(F.sum("s").alias("starts"),
+                              F.count("*").alias("rows")))
+    edge = (d.groupBy("_c")
+            .agg(F.min(F.struct("doc_id", "source")).alias("first"),
+                 F.max(F.struct("doc_id", "source")).alias("last")))
+    stats = {r["_c"]: r for r in per.join(edge, "_c").collect()}  # ≤ 64 rows
+    order = sorted(stats)
+    total_starts = sum(stats[c]["starts"] for c in order)
+    n_rows = sum(stats[c]["rows"] for c in order)
+    boundary = sum(
+        1 for a, b in zip(order, order[1:])
+        if stats[a]["last"]["source"] == stats[b]["first"]["source"])
+    return spark.createDataFrame([(total_starts - boundary, n_rows)],
+                                 "n_runs bigint, n_rows bigint")
 
 
 def _dict_candidates(spark, sf):

@@ -528,6 +528,26 @@ def encode_value_plane(col: pa.Array, cfg: EncodeConfig) -> bytes:
     raise TypeError(f"unsupported column type {t}")
 
 
+def column_stats(batch: pa.RecordBatch) -> dict:
+    """Per-column chunk statistics for the lineage manifest / enc table:
+    min/max for numeric and string scalars, null_count for everything.
+    Metadata-level (like parquet column-chunk stats) so decode can prune
+    chunks on any predicate column without touching the payload blob."""
+    import pyarrow.compute as pc
+
+    out = {}
+    for name, col in zip(batch.schema.names, batch.columns):
+        st: dict = {"nulls": col.null_count}
+        t = col.type
+        if (pa.types.is_integer(t) or pa.types.is_floating(t)
+                or pa.types.is_string(t) or pa.types.is_large_string(t)):
+            if len(col) - col.null_count > 0:
+                mm = pc.min_max(col).as_py()
+                st["min"], st["max"] = mm["min"], mm["max"]
+        out[name] = st
+    return out
+
+
 def pack_chunk(batch: pa.RecordBatch, cfg: EncodeConfig) -> tuple[bytes, dict]:
     """Encode every column of ``batch`` into one self-describing blob.
 

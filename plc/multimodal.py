@@ -1,0 +1,126 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Convention: media travels as an opaque ``binary`` column plus a typed
+metadata struct (the codec layer stores both — BINARY frames for payloads,
+ordinary planes for metadata). Operators run as Arrow-batched
+``mapInArrow`` stages: whole RecordBatches in, zero per-row Python on the
+Spark side; the per-batch kernel is numpy over the concatenated payload
+bytes.
+
+The actual media libraries (PIL/libsndfile/ffmpeg) are NOT in this
+container, so the decode kernels are gated: :func:`decode_image_real`
+raises ``NotImplementedError`` unless PIL is importable, and every operator
+accepts the deterministic :func:`fake_feature_kernel` stand-in so the
+Spark-side plumbing — schema, batch shapes, partitioning, column pruning —
+is fully real and tested. Swapping in a real kernel changes one callable.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame
+
+MEDIA_META_DDL = ("media_type string, width int, height int, "
+                  "n_frames int, sample_rate int")
+
+
+# --------------------------------------------------------------------------
+# kernels (per-batch, numpy over concatenated payload bytes)
+# --------------------------------------------------------------------------
+
+
+def decode_image_real(payloads: pa.Array) -> np.ndarray:  # pragma: no cover
+    """Real image decode — requires PIL, which this environment lacks."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "image decoding needs PIL; this sandbox ships no media "
+            "libraries — use fake_feature_kernel for plumbing tests") from e
+    raise NotImplementedError("wire PIL decode here on a real cluster")
+
+
+def fake_feature_kernel(payloads: pa.Array, n_features: int = 8
+                        ) -> np.ndarray:
+    """Deterministic stand-in feature extractor: per-blob byte histogram
+    moments, vectorized over the whole batch (no per-row Python). Returns
+    float32[n_rows, n_features]."""
+    payloads = payloads.cast(pa.large_binary())
+    offsets = np.frombuffer(payloads.buffers()[1], np.int64,
+                            count=len(payloads) + 1,
+                            offset=payloads.offset * 8)
+    data = np.frombuffer(payloads.buffers()[2] or b"", np.uint8)
+    lens = np.diff(offsets)
+    n = len(payloads)
+    out = np.zeros((n, n_features), np.float32)
+    if data.size:
+        row_of = np.repeat(np.arange(n), lens)
+        shifted = data[offsets[0]:offsets[-1]] if offsets[0] else data
+        for f in range(n_features):
+            sel = (shifted % n_features) == f
+            np.add.at(out[:, f], row_of[sel], 1.0)
+        out /= np.maximum(lens, 1)[:, None].astype(np.float32)
+    return out
+
+
+# --------------------------------------------------------------------------
+# operators (mapInArrow plumbing — real regardless of kernel)
+# --------------------------------------------------------------------------
+
+
+def extract_features(df: DataFrame, binary_col: str = "payload",
+                     id_col: str = "media_id", n_features: int = 8,
+                     kernel: Callable = fake_feature_kernel) -> DataFrame:
+    """id + float32 feature vector per media blob. The kernel sees whole
+    Arrow batches; partitioning/pruning is ordinary Catalyst (only id and
+    payload columns are scanned)."""
+    schema = f"{id_col} bigint, features array<float>"
+
+    def run(batches):
+        for batch in batches:
+            feats = kernel(batch.column(binary_col), n_features)
+            flat = pa.array(feats.ravel(), pa.float32())
+            offs = pa.array(np.arange(len(batch) + 1, dtype=np.int64)
+                            * n_features)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(id_col).cast(pa.int64()),
+                 pa.LargeListArray.from_arrays(offs, flat)
+                 .cast(pa.list_(pa.float32()))],
+                names=[id_col, "features"])
+
+    return df.select(id_col, binary_col).mapInArrow(run, schema)
+
+
+def resize_metadata(df: DataFrame, max_side: int = 256) -> DataFrame:
+    """Resize planning as pure JVM expressions: target dims preserving
+    aspect ratio (the byte-level resample is kernel work; the schema and
+    scaling arithmetic are engine-side and exact)."""
+    from pyspark.sql import functions as F
+
+    scale = F.when(
+        F.greatest("width", "height") > max_side,
+        max_side / F.greatest("width", "height").cast("double")
+    ).otherwise(F.lit(1.0))
+    return (df.withColumn("target_w",
+                          F.greatest(F.floor(F.col("width") * scale), F.lit(1))
+                          .cast("int"))
+            .withColumn("target_h",
+                        F.greatest(F.floor(F.col("height") * scale), F.lit(1))
+                        .cast("int")))
+
+
+def sample_frames(df: DataFrame, every_k: int = 10,
+                  id_col: str = "media_id") -> DataFrame:
+    """Frame-sampling plan for video-like media: explode every k-th frame
+    index from the metadata (JVM sequence/explode — the per-frame byte
+    extraction is kernel work downstream)."""
+    from pyspark.sql import functions as F
+
+    idx = F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)),
+                     F.lit(every_k))
+    return (df.filter(F.col("n_frames") > 0)
+            .select(id_col, F.explode(idx).alias("frame_idx")))

@@ -39,17 +39,18 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import StructType
 
-from plc.chunk import EncodeConfig, pack_chunk, unpack_chunk
+from plc.chunk import EncodeConfig, column_stats, pack_chunk, unpack_chunk
 
 ENC_SCHEMA_DDL = (
     "part_id int, chunk_idx int, n_rows bigint, n_tokens bigint, "
     "raw_bytes bigint, enc_bytes bigint, min_doc_id string, max_doc_id string, "
-    "codecs string, payload binary"
+    "min_w bigint, max_w bigint, stats string, codecs string, payload binary"
 )
 _ENC_ARROW_SCHEMA = pa.schema([
     ("part_id", pa.int32()), ("chunk_idx", pa.int32()), ("n_rows", pa.int64()),
     ("n_tokens", pa.int64()), ("raw_bytes", pa.int64()), ("enc_bytes", pa.int64()),
     ("min_doc_id", pa.string()), ("max_doc_id", pa.string()),
+    ("min_w", pa.int64()), ("max_w", pa.int64()), ("stats", pa.string()),
     ("codecs", pa.string()), ("payload", pa.binary()),
 ])
 
@@ -158,12 +159,14 @@ def _make_encoder(plan: dict, cfg: PipelineConfig):
                    pa.Table.from_batches(buf).combine_chunks()
                    .to_batches(max_chunksize=1 << 31)[0])
             blob, codecs = pack_chunk(big, codec_cfg)
+            stats = column_stats(big)
             docs = big.column("doc_id")
             toks = buf_tokens
             import pyarrow.compute as pc
 
             mm = pc.min_max(docs).as_py() if big.num_rows else \
                 {"min": "", "max": ""}
+            wstat = stats.get("n_tok", {})
             out = pa.RecordBatch.from_arrays([
                 pa.array([buf_part], pa.int32()),
                 pa.array([chunk_idx], pa.int32()),
@@ -173,6 +176,9 @@ def _make_encoder(plan: dict, cfg: PipelineConfig):
                 pa.array([len(blob)], pa.int64()),
                 pa.array([mm["min"]], pa.string()),
                 pa.array([mm["max"]], pa.string()),
+                pa.array([wstat.get("min")], pa.int64()),
+                pa.array([wstat.get("max")], pa.int64()),
+                pa.array([json.dumps(stats)], pa.string()),
                 pa.array([json.dumps(codecs)], pa.string()),
                 pa.array([blob], pa.binary()),
             ], schema=_ENC_ARROW_SCHEMA)
@@ -451,17 +457,29 @@ def _read_enc(spark: SparkSession, dst: str) -> DataFrame:
 
 def decode(spark: SparkSession, dst: str, *, doc_id_min: str | None = None,
            doc_id_max: str | None = None,
-           columns: list[str] | None = None) -> DataFrame:
+           columns: list[str] | None = None,
+           filters: dict[str, tuple] | None = None) -> DataFrame:
     """Read encoded chunks back as the original table. Only committed parts
     are read (manifest semi-join); doc_id bounds prune chunks via the
     min/max manifest columns (plain filter → parquet row-group skipping);
     ``columns`` prunes at the storage level — unrequested column frames are
-    skipped by length inside the chunk, never decoded."""
+    skipped by length inside the chunk, never decoded.
+
+    ``filters``: {column: (lo, hi)} inclusive range predicates. Chunks whose
+    per-column stats exclude the range are skipped entirely — the weight
+    column (n_tok) via the typed min_w/max_w columns (parquet-pushable),
+    everything else via the per-chunk stats JSON — then an exact row filter
+    runs on the decoded output."""
     from plc.util import ensure_shipped
 
     ensure_shipped(spark)
     plan = _load_plan(spark, dst)
     schema = StructType.fromJson(plan["schema"])
+    known = {f.name for f in schema.fields}
+    filters = dict(filters or {})
+    unknown_f = [c for c in filters if c not in known]
+    if unknown_f:
+        raise ValueError(f"unknown filter columns {unknown_f}")
     committed = spark.read.parquet(_manifest_path(dst)).select("part_id")
     enc = _read_enc(spark, dst)
     enc = enc.join(F.broadcast(committed), "part_id", "left_semi")
@@ -469,18 +487,40 @@ def decode(spark: SparkSession, dst: str, *, doc_id_min: str | None = None,
         enc = enc.filter(F.col("max_doc_id") >= doc_id_min)
     if doc_id_max is not None:
         enc = enc.filter(F.col("min_doc_id") <= doc_id_max)
+    wcol = plan.get("weight_col", "n_tok")
+    for col, (lo, hi) in filters.items():
+        if col == wcol and wcol != "_w":
+            # typed stat columns: plain comparisons → parquet row-group skip
+            if lo is not None:
+                enc = enc.filter(F.col("max_w").isNull() |
+                                 (F.col("max_w") >= lo))
+            if hi is not None:
+                enc = enc.filter(F.col("min_w").isNull() |
+                                 (F.col("min_w") <= hi))
+        else:
+            # generic per-chunk stats JSON; chunks with no stat stay
+            smin = F.get_json_object("stats", f"$.{col}.min")
+            smax = F.get_json_object("stats", f"$.{col}.max")
+            dt = {f.name: f.dataType.simpleString()
+                  for f in schema.fields}[col]
+            cast_t = "string" if dt == "string" else "double"
+            if lo is not None:
+                enc = enc.filter(smax.isNull() |
+                                 (smax.cast(cast_t) >= F.lit(lo)))
+            if hi is not None:
+                enc = enc.filter(smin.isNull() |
+                                 (smin.cast(cast_t) <= F.lit(hi)))
 
     bounded = doc_id_min is not None or doc_id_max is not None
     if columns is not None:
-        known = {f.name for f in schema.fields}
         unknown = [c for c in columns if c not in known]
         if unknown:
             raise ValueError(f"unknown columns {unknown}; "
                              f"stored schema has {sorted(known)}")
-        # row-level bound filtering needs doc_id decoded even when the
-        # caller did not request it; it is dropped again after the filter
+        # row-level bound/range filtering needs its columns decoded even
+        # when the caller did not request them; dropped after the filter
         decode_cols = list(dict.fromkeys(
-            (["doc_id"] if bounded else []) + list(columns)))
+            (["doc_id"] if bounded else []) + list(filters) + list(columns)))
         schema = StructType(
             [f for f in schema.fields if f.name in decode_cols])
     names = [f.name for f in schema.fields]
@@ -497,6 +537,11 @@ def decode(spark: SparkSession, dst: str, *, doc_id_min: str | None = None,
         out = out.filter(F.col("doc_id") >= doc_id_min)
     if doc_id_max is not None:
         out = out.filter(F.col("doc_id") <= doc_id_max)
+    for col, (lo, hi) in filters.items():
+        if lo is not None:
+            out = out.filter(F.col(col) >= lo)
+        if hi is not None:
+            out = out.filter(F.col(col) <= hi)
     if columns is not None:
         out = out.select(*columns)  # caller's order, not stored-schema order
     return out

@@ -1,0 +1,91 @@
+"""Multimodal plumbing tests: binary-column feature extraction through
+mapInArrow (real batching, deterministic fake kernel), resize planning,
+frame sampling, and the real-decoder NotImplementedError gate."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from plc.multimodal import (decode_image_real, extract_features,
+                            fake_feature_kernel, resize_metadata,
+                            sample_frames)
+
+
+def _media_df(spark, n=50):
+    rng = np.random.default_rng(4)
+    rows = [(i, bytes(rng.integers(0, 256, int(rng.integers(10, 500)))
+                      .astype(np.uint8)), "image", 640, 480, 0, 0)
+            for i in range(n)]
+    return spark.createDataFrame(
+        rows, "media_id bigint, payload binary, media_type string, "
+              "width int, height int, n_frames int, sample_rate int")
+
+
+def test_extract_features_shapes_and_determinism(spark):
+    df = _media_df(spark)
+    out = extract_features(df, n_features=8)
+    rows = {r["media_id"]: r["features"] for r in out.collect()}
+    assert len(rows) == 50
+    assert all(len(v) == 8 for v in rows.values())
+    # histogram fractions sum to 1 for non-empty payloads
+    assert all(abs(sum(v) - 1.0) < 1e-5 for v in rows.values())
+    rows2 = {r["media_id"]: r["features"]
+             for r in extract_features(df, n_features=8).collect()}
+    assert rows == rows2
+
+
+def test_fake_kernel_matches_numpy_reference():
+    rng = np.random.default_rng(8)
+    blobs = [bytes(rng.integers(0, 256, n).astype(np.uint8))
+             for n in (0, 1, 17, 300)]
+    feats = fake_feature_kernel(pa.array(blobs, pa.binary()), 4)
+    for i, b in enumerate(blobs):
+        arr = np.frombuffer(b, np.uint8)
+        expect = np.array([np.mean((arr % 4) == f) if arr.size else 0.0
+                           for f in range(4)], np.float32)
+        assert np.allclose(feats[i], expect), i
+
+
+def test_media_column_encodes_through_pipeline(spark):
+    """A media table (binary payload + typed metadata) must round-trip
+    through the columnar engine itself."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from plc.pipeline import PipelineConfig, encode, verify
+
+    df = _media_df(spark).withColumn(
+        "doc_id", F.format_string("m-%08d", "media_id"))
+    dst = tempfile.mkdtemp(prefix="plc_mm_")
+    try:
+        encode(spark, df, dst,
+               PipelineConfig(num_partitions=3, straggler_parts=0),
+               mode="overwrite")
+        assert verify(spark, df, dst)["mismatches"] == 0
+    finally:
+        shutil.rmtree(dst, ignore_errors=True)
+
+
+def test_resize_metadata(spark):
+    df = spark.createDataFrame(
+        [(1, 640, 480), (2, 100, 50), (3, 4000, 1000)],
+        "media_id bigint, width int, height int")
+    out = {r["media_id"]: (r["target_w"], r["target_h"])
+           for r in resize_metadata(df, max_side=256).collect()}
+    assert out[1] == (256, 192)
+    assert out[2] == (100, 50)          # under the cap: untouched
+    assert out[3] == (256, 64)
+
+
+def test_sample_frames(spark):
+    df = spark.createDataFrame([(1, 25), (2, 0), (3, 1)],
+                               "media_id bigint, n_frames int")
+    out = sample_frames(df, every_k=10).collect()
+    got = sorted((r["media_id"], r["frame_idx"]) for r in out)
+    assert got == [(1, 0), (1, 10), (1, 20), (3, 0)]
+
+
+def test_real_decoder_is_gated():
+    with pytest.raises(NotImplementedError, match="PIL"):
+        decode_image_real(pa.array([b"x"], pa.binary()))

@@ -319,6 +319,46 @@ def test_embeddings_table_roundtrip(spark):
         shutil.rmtree(dst, ignore_errors=True)
 
 
+def test_stats_pruning_skips_chunks(spark):
+    """Per-chunk column stats must prune: an n_tok range predicate skips
+    chunks via the typed min_w/max_w columns (parquet-pushable), a source
+    predicate via the stats JSON — and the row results stay exact."""
+    from pyspark.sql import functions as F
+    from plc.pipeline import _data_path
+
+    rows = [(f"doc-{i:06d}", [i % 97] * (10 + i // 100), 10 + i // 100,
+             "alpha" if i < 1000 else "beta") for i in range(2000)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string")
+    dst = _dst()
+    try:
+        cfg = PipelineConfig(num_partitions=8, straggler_parts=0,
+                             max_chunk_values=4096)
+        encode(spark, df, dst, cfg, mode="overwrite")
+        enc = spark.read.parquet(_data_path(dst))
+        total_chunks = enc.count()
+        assert total_chunks >= 8
+
+        out = decode(spark, dst, filters={"n_tok": (25, None)})
+        assert out.count() == df.filter("n_tok >= 25").count()
+        kept = enc.filter(F.col("max_w").isNull() |
+                          (F.col("max_w") >= 25)).count()
+        assert kept < total_chunks, "n_tok pruning skipped no chunks"
+
+        out2 = decode(spark, dst, filters={"source": ("beta", "beta")},
+                      columns=["doc_id", "source"])
+        assert out2.count() == 1000
+        assert out2.columns == ["doc_id", "source"]
+        smin = F.get_json_object("stats", "$.source.min")
+        kept2 = enc.filter(smin.isNull() | (smin >= "beta")).count()
+        assert kept2 < total_chunks, "stats-JSON pruning skipped no chunks"
+
+        with pytest.raises(ValueError, match="unknown filter"):
+            decode(spark, dst, filters={"nope": (1, 2)})
+    finally:
+        shutil.rmtree(dst, ignore_errors=True)
+
+
 def test_resume_noop_schedules_zero_parts(spark, src_df):
     """After a complete run (incl. empty straggler parts), resume must not
     re-encode anything — zero-row manifest markers make it a true no-op."""

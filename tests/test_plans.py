@@ -86,6 +86,26 @@ def test_partial_aggregation_before_shuffle(spark, enc_dir):
     assert "partial_sum" in p or "Partial" in p, p
 
 
+def test_query_surface_has_no_global_windows(spark):
+    """The two ranking/run-length queries must window per coarse bucket —
+    an un-partitioned Window moves every row to one task (a
+    straggler-of-one at 100× scale). Guard: no SinglePartition exchange
+    feeding a Window in their physical plans."""
+    import re
+
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.01"
+    for name in ("range_partition_bounds", "rle_run_lengths"):
+        df = E.queries()[name](spark, sf)
+        p = _physical(df)
+        if "Window" not in p:  # rle_run_lengths returns a local result
+            continue
+        assert "hashpartitioning(_c" in p, f"{name}: window not bucketed\n{p}"
+        assert not re.search(r"Exchange SinglePartition[^\n]*\n\s*\+- Window",
+                             p), f"{name}: global window\n{p}"
+
+
 def test_shuffle_free_mode_has_no_exchange(spark, enc_dir):
     """shuffle='none' (doc_id-clustered input) must produce a plan with no
     Exchange at all, and still round-trip bit-identically."""
