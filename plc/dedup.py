@@ -26,7 +26,9 @@ DuckDB oracles in ``__spark_entry__`` recompute them bit-identically).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+import numpy as np
+
+from pyspark.sql import Column, DataFrame, functions as F
 
 MERSENNE_P = 4_294_967_291        # largest 32-bit prime
 SHINGLE_MOD = 1 << 30
@@ -131,18 +133,133 @@ def lsh_band_keys(sig: Column, bands: int, rows: int) -> Column:
     return F.array(*keys)
 
 
+def _shingle_arrays(batch, tokens_col: str, k: int, modulus: int):
+    """Vectorized shingle hashes for a whole Arrow batch: returns
+    (sh_values int64 ordered by row, per-row shingle offsets int64[n+1])."""
+    import pyarrow as pa
+
+    toks = batch.column(tokens_col)
+    toks = toks.cast(pa.large_list(pa.int32()))
+    offsets = np.frombuffer(toks.buffers()[1], np.int64,
+                            count=len(toks) + 1, offset=toks.offset * 8)
+    lens = np.diff(offsets)
+    flat = toks.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+    ws = shingle_weights(k)
+    n = flat.size
+    if n >= k:
+        sh_all = np.zeros(n - k + 1, dtype=np.int64)
+        for j, w in enumerate(ws):
+            sh_all += flat[j : n - k + 1 + j] * w
+        sh_all %= modulus
+        # windows crossing row boundaries are invalid; valid windows of a
+        # row are a contiguous prefix-aligned block, so per-row slices work
+        row_of = np.repeat(np.arange(lens.size), lens)
+        valid = row_of[: n - k + 1] == row_of[k - 1 :]
+        sh = sh_all[valid]
+    else:
+        sh = np.empty(0, dtype=np.int64)
+    sh_lens = np.maximum(lens - (k - 1), 0)
+    sh_off = np.zeros(sh_lens.size + 1, dtype=np.int64)
+    np.cumsum(sh_lens, out=sh_off[1:])
+    return sh, sh_off
+
+
+def minhash_bands(df: DataFrame, key_col: str, tokens_col: str = "tokens",
+                  num_hashes: int = 8, bands: int = 4, seed: int = 42,
+                  shingle_k: int = 3) -> DataFrame:
+    """(key, band, bkey) rows via ONE Arrow-vectorized kernel.
+
+    The pure-expression variant (minhash_signature + lsh_band_keys) inlines
+    the shingle transform into every hash and band — Catalyst codegen blows
+    up on the duplicated subtrees (multi-MB task binaries, minutes of
+    planning). numpy computes the identical arithmetic in microseconds;
+    like the codec kernels, heavy per-value math belongs in mapInArrow."""
+    import pyarrow as pa
+
+    from plc.util import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+    rows = num_hashes // bands
+    params = hash_params(num_hashes, seed)
+    schema = "k string, band int, bkey bigint"
+
+    def run(batches):
+        for batch in batches:
+            sh, sh_off = _shingle_arrays(batch, tokens_col, shingle_k,
+                                         SHINGLE_MOD)
+            nrows = len(batch)
+            sig = np.full((nrows, num_hashes), MERSENNE_P, dtype=np.int64)
+            if sh.size:
+                nonempty = sh_off[1:] > sh_off[:-1]
+                # reduceat over nonempty rows only: strictly increasing
+                # starts, and the final segment runs to the end of sh
+                # (clipped empty-row starts would truncate it)
+                starts_ne = sh_off[:-1][nonempty]
+                for j, (a, b) in enumerate(params):
+                    h = (sh * a + b) % MERSENNE_P
+                    sig[nonempty, j] = np.minimum.reduceat(h, starts_ne)
+            bkeys = np.empty((nrows, bands), dtype=np.int64)
+            for b in range(bands):
+                acc = np.zeros(nrows, dtype=np.int64)
+                for r in range(rows):
+                    acc = (acc * 1_000_003 + sig[:, b * rows + r]) \
+                        % (2**61 - 1)
+                bkeys[:, b] = acc
+            keys = batch.column(key_col).cast(pa.string())
+            idx = pa.array(np.repeat(np.arange(nrows), bands))
+            yield pa.RecordBatch.from_arrays([
+                keys.take(idx),
+                pa.array(np.tile(np.arange(bands, dtype=np.int32), nrows)),
+                pa.array(bkeys.ravel()),
+            ], names=["k", "band", "bkey"])
+
+    return df.select(key_col, tokens_col).mapInArrow(run, schema)
+
+
+def shingle_sets(df: DataFrame, key_col: str, tokens_col: str = "tokens",
+                 shingle_k: int = 3) -> DataFrame:
+    """(key, sorted distinct shingle array) via one Arrow kernel — feeds
+    the exact-Jaccard verify without re-deriving shingles in JVM exprs."""
+    import pyarrow as pa
+
+    from plc.util import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+    schema = "k string, sh array<bigint>"
+
+    def run(batches):
+        for batch in batches:
+            sh, sh_off = _shingle_arrays(batch, tokens_col, shingle_k,
+                                         SHINGLE_MOD)
+            nrows = len(batch)
+            # per-row distinct: tag each shingle with its row, sort + unique
+            row_of = np.repeat(np.arange(nrows, dtype=np.int64),
+                               np.diff(sh_off))
+            tagged = row_of * (SHINGLE_MOD + 1) + sh
+            uniq = np.unique(tagged)
+            urow = uniq // (SHINGLE_MOD + 1)
+            ush = uniq % (SHINGLE_MOD + 1)
+            counts = np.bincount(urow, minlength=nrows).astype(np.int64)
+            offs = np.zeros(nrows + 1, dtype=np.int64)
+            np.cumsum(counts, out=offs[1:])
+            arr = pa.LargeListArray.from_arrays(pa.array(offs),
+                                                pa.array(ush))
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(key_col).cast(pa.string()),
+                 arr.cast(pa.list_(pa.int64()))],
+                names=["k", "sh"])
+
+    return df.select(key_col, tokens_col).mapInArrow(run, schema)
+
+
 def candidate_pairs(df: DataFrame, key_col: str, tokens_col: str = "tokens",
                     num_hashes: int = 8, bands: int = 4, seed: int = 42,
                     shingle_k: int = 3) -> DataFrame:
-    """LSH candidate pairs (key_a < key_b): explode band keys, self-join on
-    (band index, band key). The join shuffles on the band key — bucket-local
-    comparisons only, never an all-pairs product."""
-    rows = num_hashes // bands
-    sig = minhash_signature(shingle_col(tokens_col, k=shingle_k),
-                            num_hashes, seed)
-    banded = (df.select(F.col(key_col).alias("k"),
-                        lsh_band_keys(sig, bands, rows).alias("bk"))
-              .select("k", F.posexplode("bk").alias("band", "bkey")))
+    """LSH candidate pairs (key_a < key_b): Arrow-kernel band keys,
+    self-join on (band index, band key). The join shuffles on the band key —
+    bucket-local comparisons only, never an all-pairs product."""
+    banded = minhash_bands(df, key_col, tokens_col, num_hashes, bands, seed,
+                           shingle_k)
     a = banded.alias("a")
     b = banded.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band")) &
@@ -157,9 +274,7 @@ def jaccard_verify(pairs: DataFrame, df: DataFrame, key_col: str,
                    threshold: float = 0.5) -> DataFrame:
     """Exact shingle-set Jaccard on candidate pairs; keeps pairs ≥ threshold.
     Verification cost is O(candidates), not O(n²)."""
-    sh = df.select(F.col(key_col).alias("k"),
-                   F.array_distinct(shingle_col(tokens_col, k=shingle_k))
-                   .alias("sh"))
+    sh = shingle_sets(df, key_col, tokens_col, shingle_k)
     j = (pairs
          .join(sh.select(F.col("k").alias("key_a"), F.col("sh").alias("sa")),
                "key_a")

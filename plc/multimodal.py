@@ -78,6 +78,9 @@ def extract_features(df: DataFrame, binary_col: str = "payload",
     """id + float32 feature vector per media blob. The kernel sees whole
     Arrow batches; partitioning/pruning is ordinary Catalyst (only id and
     payload columns are scanned)."""
+    from plc.util import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
     schema = f"{id_col} bigint, features array<float>"
 
     def run(batches):
