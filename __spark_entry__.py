@@ -347,6 +347,31 @@ def _dedup_minhash_survivors(spark, sf):
     return out.select("doc_id", "n_tok", "source").orderBy("doc_id")
 
 
+def _ivf_recall_check(spark, sf):
+    """Non-SQL (iterative k-means): IVF index + nprobe search over the
+    embeddings table, self-verified against brute-force top-5 — returns
+    the measured recall (rows-only driver check)."""
+    from plc.similarity import (brute_force_topk, ivf_assign, ivf_topk,
+                                ivf_train)
+
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter("vec_id < 5").select(F.col("vec_id").alias("query_id"),
+                                        "embedding")
+    cent = ivf_train(emb, dim=64, n_centroids=16, iters=5)
+    indexed = ivf_assign(emb, cent).localCheckpoint()
+    brute = brute_force_topk(emb, q, k=5).collect()
+    approx = ivf_topk(indexed, q, cent, k=5, nprobe=4).collect()
+    truth = {}
+    for r in brute:
+        truth.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = sum(1 for r in approx
+               if r["vec_id"] in truth.get(r["query_id"], set()))
+    total = sum(len(v) for v in truth.values())
+    return spark.createDataFrame(
+        [(len(truth), hits, total, round(hits / max(total, 1), 4))],
+        "n_queries bigint, hits bigint, total bigint, recall double")
+
+
 def _encode_embeddings(spark, sf):
     """Non-SQL: encode the embeddings table (float32 list planes) through
     the full pipeline; returns the lineage manifest (rows-only check)."""
@@ -610,6 +635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_quality_profile": _lang_quality_profile,
         "fingerprint_stats": _fingerprint_stats,
         "dedup_minhash_survivors": _dedup_minhash_survivors,
+        "ivf_recall_check": _ivf_recall_check,
         "encode_embeddings": _encode_embeddings,
         "encode_manifest": _encode_manifest,
         "roundtrip_check": _roundtrip_check,

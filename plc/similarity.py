@@ -116,6 +116,97 @@ def ann_topk(corpus: DataFrame, queries: DataFrame, k: int, dim: int,
             .select(qid_col, id_col, F.round("cos", 4).alias("cos"), "rank"))
 
 
+def ivf_train(corpus: DataFrame, dim: int, n_centroids: int = 64,
+              iters: int = 5, sample_rows: int = 20_000,
+              vec_col: str = "embedding", seed: int = 42) -> "np.ndarray":
+    """IVF coarse quantizer: k-means over a driver-side sample.
+
+    Deterministic: sha-free here — init picks evenly-spaced sample rows
+    after a stable sort, Lloyd iterations in float64. Sampling is the
+    standard IVF practice (the quantizer needs ~10^4-10^6 training rows
+    regardless of corpus size; at 100 TB you still train on a sample)."""
+    import numpy as np
+
+    rows = corpus.select(vec_col).limit(sample_rows).collect()
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    k = min(n_centroids, len(X))
+    cent = X[np.linspace(0, len(X) - 1, k).astype(int)].copy()
+    for _ in range(iters):
+        sims = X @ cent.T
+        assign = np.argmax(sims, axis=1)
+        for c in range(k):
+            sel = X[assign == c]
+            if len(sel):
+                m = sel.mean(axis=0)
+                cent[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cent
+
+
+def ivf_assign(corpus: DataFrame, centroids: "np.ndarray",
+               id_col: str = "vec_id", vec_col: str = "embedding"
+               ) -> DataFrame:
+    """Add the nearest-centroid cell id to every row — one Arrow-batched
+    matmul per RecordBatch (the centroid table broadcasts in the closure)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from plc.util import ensure_shipped
+
+    ensure_shipped(corpus.sparkSession)
+    C = centroids.astype(np.float64)
+    schema = f"{id_col} bigint, {vec_col} array<float>, cell int"
+
+    def run(batches):
+        for batch in batches:
+            emb = batch.column(vec_col).cast(pa.large_list(pa.float32()))
+            offs = np.frombuffer(emb.buffers()[1], np.int64,
+                                 count=len(emb) + 1, offset=emb.offset * 8)
+            flat = emb.flatten().to_numpy(zero_copy_only=False)
+            X = flat.reshape(len(emb), -1).astype(np.float64)
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True),
+                                1e-12)
+            cell = np.argmax(Xn @ C.T, axis=1).astype(np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(id_col).cast(pa.int64()),
+                 batch.column(vec_col).cast(pa.list_(pa.float32())),
+                 pa.array(cell)],
+                names=[id_col, vec_col, "cell"])
+
+    return corpus.select(id_col, vec_col).mapInArrow(run, schema)
+
+
+def ivf_topk(indexed: DataFrame, queries: DataFrame,
+             centroids: "np.ndarray", k: int, nprobe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             qid_col: str = "query_id") -> DataFrame:
+    """IVF search: each query scores only rows in its ``nprobe`` nearest
+    cells. The query→cells map is tiny (driver numpy), broadcast into an
+    equi-join on cell — per-query work is cell-local, never a corpus scan.
+    ``indexed`` is the (cached/materialized) output of :func:`ivf_assign`
+    — at scale you would write it partitioned/bucketed BY cell so probes
+    prune at the storage layer."""
+    import numpy as np
+
+    spark = indexed.sparkSession
+    qrows = queries.select(qid_col, vec_col).collect()
+    Q = np.array([r[1] for r in qrows], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    probes = np.argsort(-(Qn @ centroids.astype(np.float64).T),
+                        axis=1)[:, :nprobe]
+    pairs = [(int(r[0]), [float(x) for x in r[1]], int(c))
+             for r, pr in zip(qrows, probes) for c in pr]
+    qdf = spark.createDataFrame(
+        pairs, f"{qid_col} bigint, _qv array<float>, cell int")
+    cand = indexed.join(F.broadcast(qdf), "cell") \
+        .filter(F.col(qid_col) != F.col(id_col))
+    scored = cand.withColumn("cos", cosine(F.col("_qv"), F.col(vec_col)))
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cos"), F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(qid_col, id_col, F.round("cos", 4).alias("cos"), "rank"))
+
+
 def near_dup_pairs(corpus: DataFrame, dim: int, threshold: float = 0.9,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    n_planes: int = 10, n_tables: int = 2,

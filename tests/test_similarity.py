@@ -88,6 +88,30 @@ def test_near_dup_pairs_finds_planted(spark, corpus):
         assert (i, 1000 + i) in got, f"planted pair {i} missed: {got}"
 
 
+def test_ivf_recall(spark, corpus):
+    """IVF (k-means cells + nprobe search) on clustered data: with cells ≈
+    true clusters and nprobe=2, recall@5 vs brute force must be high."""
+    from plc.similarity import ivf_assign, ivf_topk, ivf_train
+
+    cent = ivf_train(corpus, dim=DIM, n_centroids=10, iters=5)
+    indexed = ivf_assign(corpus, cent).localCheckpoint()
+    q = corpus.filter("vec_id in (0, 21, 42, 63, 84)").select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    brute = brute_force_topk(corpus, q, k=5).collect()
+    approx = ivf_topk(indexed, q, cent, k=5, nprobe=2).collect()
+    truth = {}
+    for r in brute:
+        truth.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = sum(1 for r in approx
+               if r["vec_id"] in truth.get(r["query_id"], set()))
+    total = sum(len(v) for v in truth.values())
+    assert hits / total >= 0.8, f"IVF recall {hits}/{total}"
+    # determinism: same centroids on retrain
+    import numpy as np
+    assert np.allclose(cent, ivf_train(corpus, dim=DIM, n_centroids=10,
+                                       iters=5))
+
+
 def test_signature_is_deterministic(spark, corpus):
     s1 = corpus.select(hyperplane_signature(
         F.col("embedding"), DIM, 10, seed=42).alias("s")).collect()
