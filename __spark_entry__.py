@@ -152,13 +152,12 @@ def _rle_run_lengths(spark, sf):
     is_start = F.when(F.lag("source").over(w).isNull() |
                       (F.lag("source").over(w) != F.col("source")),
                       1).otherwise(0)
-    per = (d.select("_c", is_start.alias("s"))
-           .groupBy("_c").agg(F.sum("s").alias("starts"),
-                              F.count("*").alias("rows")))
-    edge = (d.groupBy("_c")
-            .agg(F.min(F.struct("doc_id", "source")).alias("first"),
-                 F.max(F.struct("doc_id", "source")).alias("last")))
-    stats = {r["_c"]: r for r in per.join(edge, "_c").collect()}  # ≤ 64 rows
+    per = (d.select("_c", "doc_id", "source", is_start.alias("s"))
+           .groupBy("_c")
+           .agg(F.sum("s").alias("starts"), F.count("*").alias("rows"),
+                F.min(F.struct("doc_id", "source")).alias("first"),
+                F.max(F.struct("doc_id", "source")).alias("last")))
+    stats = {r["_c"]: r for r in per.collect()}  # ≤ 64 rows, one job
     order = sorted(stats)
     total_starts = sum(stats[c]["starts"] for c in order)
     n_rows = sum(stats[c]["rows"] for c in order)
