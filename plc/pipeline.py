@@ -296,36 +296,15 @@ def _pending_predicate(plan: dict, committed: set[int]):
     return reduce(lambda a, b: a | b, preds)
 
 
-def encode(spark: SparkSession, df: DataFrame, dst: str,
-           cfg: PipelineConfig | None = None, *, resume: bool = False,
-           mode: str = "error") -> dict:
-    """E1 flagship entry: encode ``df`` (doc_id/tokens/n_tok/source shape)
-    into ``dst`` with per-partition lineage manifests. Returns a report.
-
-    Lifecycle: plan (stats pre-pass) → range shuffle on salted doc_id →
-    mapInArrow encode → parquet sink (dynamic partition overwrite on
-    part_id → idempotent) → manifest append (the commit point).
-    """
-    cfg = cfg or PipelineConfig()
-    from plc.util import ensure_shipped
-
-    ensure_shipped(spark)
-    if "n_tok" not in df.columns:
-        if "tokens" in df.columns:
-            df = df.withColumn("n_tok", F.when(F.col("tokens").isNull(), 0)
-                               .otherwise(F.size("tokens")).cast("int"))
-        else:
-            # generic (non-token) table: unit row weight, not stored — the
-            # chunk cap then counts rows and skew salting is a no-op
-            df = df.withColumn("_w", F.lit(1))
-
+def _prepare_state(spark: SparkSession, df: DataFrame, dst: str,
+                   cfg: PipelineConfig, resume: bool, mode: str
+                   ) -> tuple[dict, set[int]]:
+    """Shared encode lifecycle head: fresh-run guard (refuses ANY prior
+    encode state — a crash between data write and manifest commit leaves
+    part dirs/plan with no manifest), plan load-or-build, committed set."""
     from plc import fsio
 
     manifest_exists = fsio.nonempty_dir(spark, _manifest_path(dst), ".parquet")
-    # fresh-run guard covers any prior state, not just a manifest: a crash
-    # between the data write and the manifest commit leaves part_id= dirs
-    # and/or plan.json with no manifest, and dynamic partition overwrite +
-    # zero-row markers would otherwise commit those stale directories
     prior_state = (manifest_exists or fsio.exists(spark, _plan_path(dst))
                    or fsio.nonempty_dir(spark, _data_path(dst)))
     if prior_state and not resume:
@@ -349,22 +328,40 @@ def encode(spark: SparkSession, df: DataFrame, dst: str,
         committed = {r[0] for r in
                      spark.read.parquet(_manifest_path(dst))
                      .select("part_id").distinct().collect()}
+    return plan, committed
+
+
+def encode(spark: SparkSession, df: DataFrame, dst: str,
+           cfg: PipelineConfig | None = None, *, resume: bool = False,
+           mode: str = "error") -> dict:
+    """E1 flagship entry: encode ``df`` (doc_id/tokens/n_tok/source shape)
+    into ``dst`` with per-partition lineage manifests. Returns a report.
+
+    Lifecycle: plan (stats pre-pass) → range shuffle on salted doc_id →
+    mapInArrow encode → parquet sink (dynamic partition overwrite on
+    part_id → idempotent) → manifest append (the commit point).
+    """
+    cfg = cfg or PipelineConfig()
+    from plc.util import ensure_shipped
+
+    ensure_shipped(spark)
+    if "n_tok" not in df.columns:
+        if "tokens" in df.columns:
+            df = df.withColumn("n_tok", F.when(F.col("tokens").isNull(), 0)
+                               .otherwise(F.size("tokens")).cast("int"))
+        else:
+            # generic (non-token) table: unit row weight, not stored — the
+            # chunk cap then counts rows and skew salting is a no-op
+            df = df.withColumn("_w", F.lit(1))
+
+    plan, committed = _prepare_state(spark, df, dst, cfg, resume, mode)
+    if committed:
         df = df.filter(_pending_predicate(plan, committed))
 
     total_parts = plan["n_parts"] + plan["straggler_parts"]
     pending_parts = total_parts - len(committed)
     if pending_parts <= 0:
         return _report(spark, dst, plan, newly_encoded=0)
-
-    # pre-clean: part dirs written by a crashed earlier attempt but never
-    # committed must be deleted before the write — dynamic partition
-    # overwrite only rewrites parts that receive new data, so the manifest
-    # rollup (which reads the data dir) would otherwise adopt stale dirs
-    if fsio.nonempty_dir(spark, _data_path(dst)):
-        for i in range(total_parts):
-            if i not in committed:
-                fsio.delete(spark,
-                            os.path.join(_data_path(dst), f"part_id={i}"))
 
     # _sbucket travels into the encoder in both modes: the mapInArrow workers
     # read it for straggler routing (no Python-side hashing) and drop it
@@ -377,8 +374,28 @@ def encode(spark: SparkSession, df: DataFrame, dst: str,
             shuffled = shuffled.sortWithinPartitions("_sbucket", "doc_id")
 
     enc = shuffled.mapInArrow(_make_encoder(plan, cfg), ENC_SCHEMA_DDL)
+    return _write_and_commit(spark, enc, dst, plan, committed, total_parts,
+                             pending_parts)
 
+
+def _write_and_commit(spark: SparkSession, enc: DataFrame, dst: str,
+                      plan: dict, committed: set[int], total_parts: int,
+                      pending_parts: int) -> dict:
+    """Shared sink: dynamic-partition-overwrite data write, then the
+    manifest append (the commit point), then the run report."""
     import time
+
+    from plc import fsio
+
+    # pre-clean: part dirs written by a crashed earlier attempt but never
+    # committed must be deleted before the write — dynamic partition
+    # overwrite only rewrites parts that receive new data, so the manifest
+    # rollup (which reads the data dir) would otherwise adopt stale dirs
+    if fsio.nonempty_dir(spark, _data_path(dst)):
+        for i in range(total_parts):
+            if i not in committed:
+                fsio.delete(spark,
+                            os.path.join(_data_path(dst), f"part_id={i}"))
 
     t0 = time.perf_counter()
     (enc.write.partitionBy("part_id").mode("overwrite")
@@ -434,6 +451,150 @@ def _report(spark: SparkSession, dst: str, plan: dict, newly_encoded: int) -> di
         "raw_bytes": raw, "enc_bytes": enc_b,
         "ratio": raw / enc_b if enc_b else 0.0,
     }
+
+
+def encode_direct(spark: SparkSession, src_path: str, dst: str,
+                  cfg: PipelineConfig | None = None, *, resume: bool = False,
+                  mode: str = "error") -> dict:
+    """E1-direct: maximum-throughput encode for doc_id-clustered parquet
+    inputs. Executors open the source row groups with pyarrow INSIDE
+    mapInArrow — no JVM parquet scan and no Arrow IPC of the token data;
+    the only Spark-side rows are tiny row-group descriptors. Same plan,
+    encoder, sink, manifests, and resume semantics as
+    ``encode(shuffle="none")``.
+
+    Row-group scheduling: committed parts are pruned at row-group
+    granularity via the parquet doc_id column statistics, and an exact
+    row-level filter inside the worker drops any committed-part rows a
+    surviving row group still carries (a committed part must never be
+    partially rewritten). Straggler salting is disabled — clustered inputs
+    keep parts contiguous and the chunk token cap bounds memory.
+
+    The source must be parquet reachable from executors (POSIX here;
+    cluster URIs would thread a pyarrow filesystem through)."""
+    import dataclasses
+
+    import pyarrow.parquet as pq
+
+    cfg = dataclasses.replace(cfg or PipelineConfig(), straggler_parts=0,
+                              shuffle="none")
+    from plc.util import ensure_shipped
+
+    ensure_shipped(spark)
+    pdf = spark.read.parquet(src_path)  # planning only (column-pruned scan)
+    if "n_tok" not in pdf.columns and "tokens" in pdf.columns:
+        pdf = pdf.withColumn("n_tok", F.when(F.col("tokens").isNull(), 0)
+                             .otherwise(F.size("tokens")).cast("int"))
+    plan, committed = _prepare_state(spark, pdf, dst, cfg, resume, mode)
+    total_parts = plan["n_parts"]
+    pending_parts = total_parts - len(committed)
+    if pending_parts <= 0:
+        return _report(spark, dst, plan, newly_encoded=0)
+
+    # committed doc_id ranges (for rg pruning + exact row filtering)
+    bounds = plan["bounds"]
+
+    def part_range(i):
+        lo = bounds[i - 1] if i > 0 else None
+        hi = bounds[i] if i < total_parts - 1 else None
+        return lo, hi
+
+    committed_ranges = [part_range(i) for i in sorted(committed)]
+
+    def fully_committed(mn, mx):
+        if mn is None or mx is None:
+            return False
+        # every part intersecting [mn, mx] is committed ⇔ rg skippable
+        lo_part = int(np.searchsorted(np.array(bounds, dtype=str),
+                                      mn, side="right"))
+        hi_part = int(np.searchsorted(np.array(bounds, dtype=str),
+                                      mx, side="right"))
+        return all(p in committed for p in range(lo_part, hi_part + 1))
+
+    # enumerate row groups (driver-side; one metadata read per file)
+    import glob
+
+    files = sorted(glob.glob(os.path.join(src_path, "*.parquet"))) or \
+        ([src_path] if src_path.endswith(".parquet") else
+         sorted(glob.glob(os.path.join(src_path, "**", "*.parquet"),
+                          recursive=True)))
+    per_file: list[tuple[str, list[int]]] = []
+    total_groups = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        doc_col = names.index("doc_id")
+        keep: list[int] = []
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(doc_col).statistics
+            if (committed and st is not None and st.has_min_max
+                    and fully_committed(st.min, st.max)):
+                continue
+            keep.append(g)
+        per_file.append((f, keep))
+        total_groups += len(keep)
+    # contiguous row-group runs per task, sized so task count ≈ 2× cores
+    # (longer runs amortize chunk/codec tables; too long starves cores)
+    par = spark.sparkContext.defaultParallelism
+    run_len = max(1, total_groups // max(2 * par, 1))
+    tasks: list[tuple[str, list[int]]] = []
+    for f, keep in per_file:
+        for i in range(0, len(keep), run_len):
+            tasks.append((f, keep[i : i + run_len]))
+    if not tasks:
+        return _report(spark, dst, plan, newly_encoded=0)
+
+    desc = spark.createDataFrame(tasks, "file string, groups array<int>") \
+        .repartition(len(tasks))
+    enc_fn = _make_encoder(plan, cfg)
+    col_names = [f["name"] for f in plan["schema"]["fields"]]
+    wcol = plan.get("weight_col", "n_tok")
+    cranges = committed_ranges
+
+    def direct_batches(desc_batches):
+        import pyarrow.compute as pc
+        import pyarrow.parquet as _pq
+
+        def gen():
+            for db in desc_batches:
+                for f, gs in zip(db.column("file").to_pylist(),
+                                 db.column("groups").to_pylist()):
+                    pf = _pq.ParquetFile(f)
+                    read_cols = [c for c in col_names
+                                 if c in pf.schema_arrow.names]
+                    for rb in pf.iter_batches(row_groups=list(gs),
+                                              batch_size=32768,
+                                              columns=read_cols):
+                        if wcol not in rb.schema.names:
+                            if "tokens" in rb.schema.names:
+                                lens = pc.coalesce(
+                                    pc.list_value_length(
+                                        rb.column("tokens")),
+                                    pa.scalar(0, pa.int32()))
+                            else:  # generic table: unit weight
+                                lens = pa.array(
+                                    np.ones(len(rb), dtype=np.int32))
+                            rb = rb.append_column(wcol, lens)
+                        if cranges:
+                            docs = rb.column("doc_id") \
+                                .to_numpy(zero_copy_only=False).astype(str)
+                            drop = np.zeros(len(rb), dtype=bool)
+                            for lo, hi in cranges:
+                                m = np.ones(len(rb), dtype=bool)
+                                if lo is not None:
+                                    m &= docs >= lo
+                                if hi is not None:
+                                    m &= docs < hi
+                                drop |= m
+                            if drop.any():
+                                rb = rb.filter(pa.array(~drop))
+                        if len(rb):
+                            yield rb
+        yield from enc_fn(gen())
+
+    enc = desc.mapInArrow(direct_batches, ENC_SCHEMA_DDL)
+    return _write_and_commit(spark, enc, dst, plan, committed, total_parts,
+                             pending_parts)
 
 
 # --------------------------------------------------------------------------

@@ -359,6 +359,42 @@ def test_stats_pruning_skips_chunks(spark):
         shutil.rmtree(dst, ignore_errors=True)
 
 
+def test_encode_direct_roundtrip_and_resume(spark, src_df, tmp_path_factory):
+    """encode_direct: executor-side pyarrow scan (no JVM scan/IPC) must
+    produce a bit-identical store, prune committed row groups on resume via
+    parquet doc_id stats, and never partially rewrite a committed part."""
+    from plc.pipeline import encode_direct
+
+    src = str(tmp_path_factory.mktemp("direct") / "tok.parquet")
+    D.synth_tokens_parquet(src, 2000, regime="zipf", seed=42)
+    df = spark.read.parquet(src)
+    dst = _dst()
+    try:
+        cfg = PipelineConfig(num_partitions=6)
+        rep = encode_direct(spark, src, dst, cfg, mode="overwrite")
+        assert rep["rows"] == 2000
+        assert verify(spark, df, dst)["mismatches"] == 0
+
+        # crash simulation: keep only even-part manifest rows, resume
+        man = spark.read.parquet(_manifest_path(dst))
+        keep = man.filter("part_id % 2 = 0")
+        tmp_man = dst + "_mtmp"
+        keep.write.mode("overwrite").parquet(tmp_man)
+        shutil.rmtree(_manifest_path(dst))
+        shutil.move(tmp_man, _manifest_path(dst))
+        encode_direct(spark, src, dst, cfg, resume=True)
+        res = verify(spark, df, dst)
+        assert res["mismatches"] == 0 and res["rows_decoded"] == 2000
+        man2 = spark.read.parquet(_manifest_path(dst))
+        ids = [r[0] for r in man2.select("part_id").collect()]
+        assert len(ids) == len(set(ids))
+        # a second no-op resume schedules nothing
+        rep3 = encode_direct(spark, src, dst, cfg, resume=True)
+        assert rep3["newly_encoded"] == 0
+    finally:
+        shutil.rmtree(dst, ignore_errors=True)
+
+
 def test_resume_noop_schedules_zero_parts(spark, src_df):
     """After a complete run (incl. empty straggler parts), resume must not
     re-encode anything — zero-row manifest markers make it a true no-op."""
