@@ -12,7 +12,8 @@ __version__ = "0.1.0"
 
 
 def __getattr__(name):  # lazy: keep kernel imports pyspark-free
-    if name in ("encode", "decode", "verify", "build_plan", "PipelineConfig"):
+    if name in ("encode", "encode_direct", "decode", "verify", "build_plan",
+                "PipelineConfig"):
         from plc import pipeline
 
         return getattr(pipeline, name)
@@ -20,4 +21,8 @@ def __getattr__(name):  # lazy: keep kernel imports pyspark-free
         from plc.chunk import EncodeConfig
 
         return EncodeConfig
+    if name in ("encode_stream", "decode_stream"):
+        from plc import streaming
+
+        return getattr(streaming, name)
     raise AttributeError(name)

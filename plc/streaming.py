@@ -72,16 +72,70 @@ def decode_stream(spark: SparkSession, dst: str) -> DataFrame:
 
 
 def windowed_token_stats(stream_df: DataFrame, *, window: str = "1 hour",
-                         watermark: str = "2 hours",
-                         ts_col: str = "ts") -> DataFrame:
-    """Watermarked tumbling-window token statistics — the streaming-native
-    aggregation shape (works unchanged on a batch DataFrame, minus the
-    watermark)."""
+                         watermark: str = "2 hours", ts_col: str = "ts",
+                         session_gap: str | None = None) -> DataFrame:
+    """Watermarked window token statistics — tumbling by default, session
+    windows when ``session_gap`` is set. The same code runs on a batch
+    DataFrame (minus the watermark)."""
     d = stream_df
     if d.isStreaming:
         d = d.withWatermark(ts_col, watermark)
-    return (d.groupBy(F.window(ts_col, window).alias("win"))
+    win = (F.session_window(ts_col, session_gap) if session_gap
+           else F.window(ts_col, window))
+    return (d.groupBy(win.alias("win"))
             .agg(F.count("*").alias("n_rows"),
                  F.sum("n_tok").alias("total_tokens"))
             .select(F.col("win.start").alias("window_start"),
                     "n_rows", "total_tokens"))
+
+
+def stateful_dedup_stream(stream_df: DataFrame, *, n_buckets: int = 64,
+                          out_cols: tuple = ("doc_id", "n_tok", "source")
+                          ) -> DataFrame:
+    """Cross-microbatch exact dedup as a custom stateful operator
+    (``applyInPandasWithState``): rows whose content hash was seen in ANY
+    earlier microbatch are dropped; first occurrence wins.
+
+    State layout: rows are hashed JVM-side (xxhash64 over the content
+    columns) and grouped by hash bucket; each bucket's GroupState holds the
+    seen-hash set. Buckets shard the state across executors exactly like a
+    shuffle key, so state size per task is |distinct|/n_buckets; a real
+    deployment backs this with the RocksDB state store."""
+    import pandas as pd
+
+    content = [c for c in stream_df.columns if c in ("tokens", "text")]
+    h = F.xxhash64(*content)
+    d = stream_df.select(*out_cols, h.alias("_h"),
+                         F.pmod(h, F.lit(n_buckets)).alias("_b"))
+    out_schema = ", ".join(f"{c} {t}" for c, t in
+                           zip(d.schema.names, [f.dataType.simpleString()
+                                                for f in d.schema.fields])
+                           if c != "_b")
+    state_schema = "seen array<bigint>"
+
+    def dedup_fn(key, pdfs, state):
+        seen = set(state.get[0]) if state.exists else set()
+        for pdf in pdfs:
+            fresh = pdf[~pdf["_h"].isin(seen) &
+                        ~pdf["_h"].duplicated(keep="first")]
+            seen.update(fresh["_h"].tolist())
+            if len(fresh):
+                yield fresh.drop(columns=["_b"])
+        state.update((list(seen),))
+
+    return (d.groupBy("_b")
+            .applyInPandasWithState(dedup_fn, out_schema, state_schema,
+                                    "append", "NoTimeout")
+            .drop("_h"))
+
+
+def compact_stream(spark: SparkSession, dst: str, out_dst: str,
+                   cfg: PipelineConfig | None = None, *,
+                   mode: str = "error") -> dict:
+    """Compact the per-microbatch encodes under ``dst`` into ONE encode at
+    ``out_dst`` (decode → re-encode; resumable like any encode). Run it
+    periodically so reader-side batch-dir counts stay bounded."""
+    df = decode_stream(spark, dst)
+    return encode(spark, df, out_dst,
+                  cfg or PipelineConfig(num_partitions=8,
+                                        straggler_parts=0), mode=mode)

@@ -51,3 +51,37 @@ def test_bitpack_roundtrip_masked(w, xs):
     arr = np.array(xs, dtype=np.uint64) & np.uint64(hi)
     out = K.bitunpack(K.bitpack(arr, w), w, arr.size)
     np.testing.assert_array_equal(out, arr)
+
+
+@given(st.lists(st.integers(-(2**31), 2**31 - 1), max_size=300))
+def test_forbp_roundtrip_any_int32(xs):
+    from plc import chunk as C
+
+    arr = np.array(xs, dtype=np.int32)
+    if arr.size == 0:
+        return
+    frame = C._forbp_frame(arr)
+    out, _ = C.decode_frame(memoryview(frame), 0)
+    np.testing.assert_array_equal(out, arr)
+    assert out.dtype == arr.dtype
+
+
+@given(st.lists(st.integers(-(2**62), 2**62 - 1), min_size=1, max_size=200))
+def test_forbp_roundtrip_int64(xs):
+    from plc import chunk as C
+
+    arr = np.array(xs, dtype=np.int64)
+    frame = C._forbp_frame(arr)
+    out, _ = C.decode_frame(memoryview(frame), 0)
+    np.testing.assert_array_equal(out, arr)
+
+
+@given(st.lists(st.floats(allow_nan=False, width=32), min_size=1,
+                max_size=300))
+def test_byteplane_roundtrip_float32(xs):
+    from plc import chunk as C
+
+    arr = np.array(xs, dtype=np.float32)
+    frame = C._byteplane_frame(arr)
+    out, _ = C.decode_frame(memoryview(frame), 0)
+    np.testing.assert_array_equal(out, arr)

@@ -106,3 +106,75 @@ def test_decode_stream_ignores_uncommitted_batch(spark):
     finally:
         for d in (src, dst, ckpt):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stateful_dedup_across_microbatches(spark):
+    """applyInPandasWithState: content seen in an earlier microbatch must
+    be dropped in later ones; first occurrence wins."""
+    from plc.streaming import stateful_dedup_stream
+
+    src = tempfile.mkdtemp(prefix="plc_dsrc_")
+    try:
+        rows1 = [(f"a{i}", [i, i + 1, i + 2], 3, "web") for i in range(50)]
+        rows2 = ([(f"b{i}", [i, i + 1, i + 2], 3, "web")     # dups of batch 1
+                  for i in range(20)] +
+                 [(f"c{i}", [900 + i, i, i], 3, "web") for i in range(30)])
+        spark.createDataFrame(rows1, SCHEMA).coalesce(1).write.mode(
+            "overwrite").parquet(os.path.join(src, "f1"))
+        spark.createDataFrame(rows2, SCHEMA).coalesce(1).write.mode(
+            "overwrite").parquet(os.path.join(src, "f2"))
+        stream = (spark.readStream.schema(SCHEMA)
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(src + "/*/"))
+        out = stateful_dedup_stream(stream, n_buckets=8)
+        q = (out.writeStream.format("memory").queryName("sdedup")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        q.stop()
+        got = spark.sql("select * from sdedup").collect()
+        ids = sorted(r["doc_id"] for r in got)
+        # 50 from batch1 + 30 new from batch2; the 20 b* dups dropped
+        assert len(ids) == 80, len(ids)
+        assert not any(i.startswith("b") for i in ids)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
+def test_session_window_stats(spark):
+    """Session windows: events within the gap merge, a gap splits."""
+    rows = [("a", [1], 1, "2026-01-01 10:00:00"),
+            ("b", [1], 1, "2026-01-01 10:04:00"),
+            ("c", [1], 1, "2026-01-01 10:07:00"),
+            ("d", [1], 1, "2026-01-01 11:00:00")]
+    df = (spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, ts_s string")
+        .withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s"))
+    res = windowed_token_stats(df, session_gap="5 minutes").collect()
+    sizes = sorted(r["n_rows"] for r in res)
+    assert sizes == [1, 3]
+
+
+def test_compact_stream(spark):
+    from plc.streaming import compact_stream
+    from plc.pipeline import verify
+
+    src = tempfile.mkdtemp(prefix="plc_csrc_")
+    dst = tempfile.mkdtemp(prefix="plc_cdst_")
+    ckpt = tempfile.mkdtemp(prefix="plc_cck_")
+    out = tempfile.mkdtemp(prefix="plc_cout_") + "/compacted"
+    try:
+        _mkfiles(src, n_files=2)
+        stream = (spark.readStream.schema(SCHEMA)
+                  .option("maxFilesPerTrigger", "1").parquet(src))
+        q = encode_stream(stream, dst, ckpt,
+                          PipelineConfig(num_partitions=2,
+                                         straggler_parts=0))
+        q.awaitTermination(120)
+        q.stop()
+        rep = compact_stream(spark, dst, out)
+        assert rep["rows"] == 800
+        assert verify(spark, decode_stream(spark, dst), out,
+                      method="checksum")["mismatches"] == 0
+    finally:
+        for d in (src, dst, ckpt, os.path.dirname(out)):
+            shutil.rmtree(d, ignore_errors=True)
