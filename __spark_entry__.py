@@ -427,7 +427,7 @@ _TOKENS_SQL = ("list_transform(list_filter(string_split(text, ' '), "
 
 
 def _minhash_pairs_sql() -> str:
-    from plc.dedup import (MERSENNE_P, SHINGLE_MOD, hash_params,
+    from plc.dedup import (BAND_MOD, MERSENNE_P, SHINGLE_MOD, hash_params,
                            shingle_weights)
 
     ws = shingle_weights(3)
@@ -438,9 +438,15 @@ def _minhash_pairs_sql() -> str:
     sig_elems = ", ".join(
         f"coalesce(list_min(list_transform(sh, s -> (s * {a} + {b}) % "
         f"{MERSENNE_P})), {MERSENNE_P})" for a, b in hash_params(8, 42))
+    def band_key(b, rows=2):
+        expr = "0"
+        for r in range(rows):
+            expr = (f"(({expr}) * 1000003 + sig[{b * rows + r + 1}] % "
+                    f"{BAND_MOD}) % {BAND_MOD}")
+        return expr
+
     band_rows = "\n            UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, "
-        f"sig[{2 * b + 1}] * 1000003 + sig[{2 * b + 2}] AS bkey FROM sigs"
+        f"SELECT doc_id, {b} AS band, {band_key(b)} AS bkey FROM sigs"
         for b in range(4))
     return f"""
         WITH docs AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,

@@ -120,6 +120,10 @@ def minhash_signature(shingles: Column, num_hashes: int = 8,
     return F.array(*sigs)
 
 
+BAND_MOD = 2_147_483_647  # 2^31-1: keeps acc*1e6+x < 2^52 (exact in int64,
+#   non-negative, so JVM %, numpy %, and SQL % all agree for ANY rows/band)
+
+
 def lsh_band_keys(sig: Column, bands: int, rows: int) -> Column:
     """Array of per-band bucket keys: polynomial combine of each band's
     signature slice (deterministic, engine-portable — no builtin hash())."""
@@ -128,7 +132,8 @@ def lsh_band_keys(sig: Column, bands: int, rows: int) -> Column:
         sl = F.slice(sig, b * rows + 1, rows)
         key = F.aggregate(
             sl, F.lit(0).cast("bigint"),
-            lambda acc, x: (acc * F.lit(1_000_003) + x) % F.lit(2**61 - 1))
+            lambda acc, x: (acc * F.lit(1_000_003) + x % F.lit(BAND_MOD))
+            % F.lit(BAND_MOD))
         keys.append(key)
     return F.array(*keys)
 
@@ -179,6 +184,11 @@ def minhash_bands(df: DataFrame, key_col: str, tokens_col: str = "tokens",
     from plc.util import ensure_shipped
 
     ensure_shipped(df.sparkSession)
+    if bands < 1 or num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be a positive multiple of "
+            f"bands ({bands}) — otherwise band keys degenerate (a constant "
+            f"key turns the LSH join into an all-pairs product)")
     rows = num_hashes // bands
     params = hash_params(num_hashes, seed)
     schema = "k string, band int, bkey bigint"
@@ -202,8 +212,8 @@ def minhash_bands(df: DataFrame, key_col: str, tokens_col: str = "tokens",
             for b in range(bands):
                 acc = np.zeros(nrows, dtype=np.int64)
                 for r in range(rows):
-                    acc = (acc * 1_000_003 + sig[:, b * rows + r]) \
-                        % (2**61 - 1)
+                    acc = (acc * 1_000_003
+                           + sig[:, b * rows + r] % BAND_MOD) % BAND_MOD
                 bkeys[:, b] = acc
             keys = batch.column(key_col).cast(pa.string())
             idx = pa.array(np.repeat(np.arange(nrows), bands))
@@ -336,6 +346,7 @@ def dedup_minhash(df: DataFrame, key_col: str, tokens_col: str = "tokens",
                      F.col("key_a").alias("key_b"))).localCheckpoint()
     labels = (edges.select(F.col("key_a").alias("k"))
               .distinct().withColumn("comp", F.col("k")))
+    changed = 0
     for _ in range(max_iter):
         nbr_min = (edges.join(labels, edges.key_b == labels.k)
                    .groupBy("key_a").agg(F.min("comp").alias("nbr_comp")))
@@ -350,6 +361,14 @@ def dedup_minhash(df: DataFrame, key_col: str, tokens_col: str = "tokens",
         labels = new_labels
         if changed == 0:
             break
+    if changed:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "dedup_minhash: min-label propagation did not converge in "
+            "%d iterations (%d labels still changing) — some duplicate "
+            "clusters may keep more than one row; raise max_iter",
+            max_iter, changed)
     # drop every clustered row that is not its component's min key
     losers = labels.filter(F.col("k") != F.col("comp")).select("k")
     return df.join(losers.withColumnRenamed("k", key_col), key_col,

@@ -59,7 +59,9 @@ def fake_feature_kernel(payloads: pa.Array, n_features: int = 8
     out = np.zeros((n, n_features), np.float32)
     if data.size:
         row_of = np.repeat(np.arange(n), lens)
-        shifted = data[offsets[0]:offsets[-1]] if offsets[0] else data
+        # always slice to the logical range: a sliced/prefixed Arrow array's
+        # data buffer can extend past offsets[-1] even when offsets[0] == 0
+        shifted = data[offsets[0] : offsets[-1]]
         for f in range(n_features):
             sel = (shifted % n_features) == f
             np.add.at(out[:, f], row_of[sel], 1.0)

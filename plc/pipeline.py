@@ -167,12 +167,17 @@ def _make_encoder(plan: dict, cfg: PipelineConfig):
             mm = pc.min_max(docs).as_py() if big.num_rows else \
                 {"min": "", "max": ""}
             wstat = stats.get("n_tok", {})
+            # raw bytes: the contract metric is raw TOKEN bytes (int32) for
+            # token tables; generic tables report Arrow buffer bytes so the
+            # manifest ratio stays meaningful (unit weights are not bytes)
+            raw_b = toks * 4 if wcol == "n_tok" else \
+                big.get_total_buffer_size()
             out = pa.RecordBatch.from_arrays([
                 pa.array([buf_part], pa.int32()),
                 pa.array([chunk_idx], pa.int32()),
                 pa.array([big.num_rows], pa.int64()),
                 pa.array([toks], pa.int64()),
-                pa.array([toks * 4], pa.int64()),  # raw token bytes
+                pa.array([raw_b], pa.int64()),
                 pa.array([len(blob)], pa.int64()),
                 pa.array([mm["min"]], pa.string()),
                 pa.array([mm["max"]], pa.string()),
@@ -486,6 +491,14 @@ def encode_direct(spark: SparkSession, src_path: str, dst: str,
         pdf = pdf.withColumn("n_tok", F.when(F.col("tokens").isNull(), 0)
                              .otherwise(F.size("tokens")).cast("int"))
     plan, committed = _prepare_state(spark, pdf, dst, cfg, resume, mode)
+    if plan.get("straggler_parts", 0) > 0:
+        # a prior encode() run used salted straggler parts; the direct
+        # scanner has no salt routing, so resuming it here would strand or
+        # duplicate straggler rows — resume with encode() instead
+        raise ValueError(
+            f"{dst} was planned with straggler_parts="
+            f"{plan['straggler_parts']}; encode_direct cannot resume a "
+            f"salted encode — use encode(..., resume=True)")
     total_parts = plan["n_parts"]
     pending_parts = total_parts - len(committed)
     if pending_parts <= 0:

@@ -68,13 +68,19 @@ def hyperplane_signature(vec: Column, dim: int, n_planes: int = 12,
 
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int,
                      id_col: str = "vec_id", vec_col: str = "embedding",
-                     qid_col: str = "query_id") -> DataFrame:
+                     qid_col: str = "query_id",
+                     exclude_self: bool = True) -> DataFrame:
     """Exact top-k neighbours per query. Query side is broadcast (queries
     are small by construction); the corpus is scanned once; the ranking
-    window partitions by query — no global sort, no corpus shuffle."""
+    window partitions by query — no global sort, no corpus shuffle.
+
+    ``exclude_self`` assumes query ids share the corpus id space (queries
+    drawn FROM the corpus); pass False for external query vectors, or a
+    corpus row whose id collides with a query id would be wrongly
+    dropped."""
     q = queries.select(F.col(qid_col), F.col(vec_col).alias("_qv"))
-    scored = (corpus.join(F.broadcast(q),
-                          F.col(qid_col) != F.col(id_col))  # skip self
+    cond = (F.col(qid_col) != F.col(id_col)) if exclude_self else F.lit(True)
+    scored = (corpus.join(F.broadcast(q), cond)
               .withColumn("cos", cosine(F.col("_qv"), F.col(vec_col))))
     w = Window.partitionBy(qid_col).orderBy(F.desc("cos"), F.col(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -118,16 +124,20 @@ def ann_topk(corpus: DataFrame, queries: DataFrame, k: int, dim: int,
 
 def ivf_train(corpus: DataFrame, dim: int, n_centroids: int = 64,
               iters: int = 5, sample_rows: int = 20_000,
-              vec_col: str = "embedding", seed: int = 42) -> "np.ndarray":
+              vec_col: str = "embedding", id_col: str = "vec_id",
+              seed: int = 42) -> "np.ndarray":
     """IVF coarse quantizer: k-means over a driver-side sample.
 
-    Deterministic: sha-free here — init picks evenly-spaced sample rows
-    after a stable sort, Lloyd iterations in float64. Sampling is the
-    standard IVF practice (the quantizer needs ~10^4-10^6 training rows
-    regardless of corpus size; at 100 TB you still train on a sample)."""
+    Deterministic: the sample is the first ``sample_rows`` rows in id
+    order (a bare limit() would depend on partition order), init picks
+    evenly-spaced sample rows, Lloyd iterations run in float64. Sampling
+    is the standard IVF practice (the quantizer needs ~10^4-10^6 training
+    rows regardless of corpus size; at 100 TB you still train on a
+    sample)."""
     import numpy as np
 
-    rows = corpus.select(vec_col).limit(sample_rows).collect()
+    rows = (corpus.select(id_col, vec_col).orderBy(id_col)
+            .limit(sample_rows).select(vec_col).collect())
     X = np.array([r[0] for r in rows], dtype=np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     k = min(n_centroids, len(X))

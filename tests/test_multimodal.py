@@ -86,6 +86,17 @@ def test_sample_frames(spark):
     assert got == [(1, 0), (1, 10), (1, 20), (3, 0)]
 
 
+def test_fake_kernel_handles_sliced_arrays():
+    """A sliced Arrow array's data buffer extends past offsets[-1]; the
+    kernel must slice to the logical range (regression)."""
+    arr = pa.array([b"abcdef", b"ghijkl", b"mnopqr"], pa.binary()).slice(0, 2)
+    feats = fake_feature_kernel(arr, 4)
+    assert feats.shape == (2, 4)
+    full = fake_feature_kernel(pa.array([b"abcdef", b"ghijkl"], pa.binary()),
+                               4)
+    assert np.allclose(feats, full)
+
+
 def test_real_decoder_is_gated():
     with pytest.raises(NotImplementedError, match="PIL"):
         decode_image_real(pa.array([b"x"], pa.binary()))
