@@ -557,8 +557,12 @@ def encode_direct(spark: SparkSession, src_path: str, dst: str,
     if not tasks:
         return _report(spark, dst, plan, newly_encoded=0)
 
-    desc = spark.createDataFrame(tasks, "file string, groups array<int>") \
-        .repartition(len(tasks))
+    # one Spark partition per task, WITHOUT a shuffle: a repartition() here
+    # is a tiny exchange that AQE coalesces into a single partition
+    # (advisory-size logic sees a few KB of descriptors), serializing the
+    # whole encode; parallelize with explicit slices is AQE-proof
+    rdd = spark.sparkContext.parallelize(tasks, numSlices=len(tasks))
+    desc = spark.createDataFrame(rdd, "file string, groups array<int>")
     enc_fn = _make_encoder(plan, cfg)
     col_names = [f["name"] for f in plan["schema"]["fields"]]
     wcol = plan.get("weight_col", "n_tok")
