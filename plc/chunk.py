@@ -650,6 +650,8 @@ def _encode_with_nulls(col: pa.Array, cfg: EncodeConfig) -> bytes:
         fill = ""
     elif pa.types.is_binary(t) or pa.types.is_large_binary(t):
         fill = b""
+    elif pa.types.is_boolean(t):
+        fill = False
     else:
         fill = 0
     filled = col.fill_null(fill)

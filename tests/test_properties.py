@@ -85,3 +85,61 @@ def test_byteplane_roundtrip_float32(xs):
     frame = C._byteplane_frame(arr)
     out, _ = C.decode_frame(memoryview(frame), 0)
     np.testing.assert_array_equal(out, arr)
+
+
+# ---------------------------------------------------------------------------
+# generative chunk-container property: pack→unpack over random schemas
+# ---------------------------------------------------------------------------
+
+import pyarrow as pa  # noqa: E402
+
+_COL_STRATEGIES = [
+    ("i32", st.lists(st.one_of(st.none(),
+                               st.integers(-(2**31), 2**31 - 1)))),
+    ("i64", st.lists(st.one_of(st.none(),
+                               st.integers(-(2**62), 2**62 - 1)))),
+    ("f32", st.lists(st.one_of(st.none(),
+                               st.floats(allow_nan=False, width=32)))),
+    ("f64", st.lists(st.one_of(st.none(),
+                               st.floats(allow_nan=False)))),
+    ("boolc", st.lists(st.one_of(st.none(), st.booleans()))),
+    ("strc", st.lists(st.one_of(st.none(), st.text(max_size=20)))),
+    ("binc", st.lists(st.one_of(st.none(), st.binary(max_size=30)))),
+    ("li32", st.lists(st.one_of(
+        st.none(), st.lists(st.integers(-(2**31), 2**31 - 1),
+                            max_size=8)))),
+    ("lf32", st.lists(st.one_of(
+        st.none(), st.lists(st.floats(allow_nan=False, width=32),
+                            max_size=8)))),
+]
+_PA_TYPES = {
+    "i32": pa.int32(), "i64": pa.int64(), "f32": pa.float32(),
+    "f64": pa.float64(), "boolc": pa.bool_(), "strc": pa.string(),
+    "binc": pa.binary(), "li32": pa.list_(pa.int32()),
+    "lf32": pa.list_(pa.float32()),
+}
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 30), st.data())
+def test_pack_unpack_random_schema(n_rows, data):
+    """Any mix of supported column types with arbitrary nulls must survive
+    pack_chunk→unpack_chunk bit-identically (the reference's correctness
+    contract, generatively)."""
+    from plc.chunk import EncodeConfig, pack_chunk, unpack_chunk
+
+    picked = data.draw(st.lists(st.sampled_from(_COL_STRATEGIES),
+                                min_size=1, max_size=4, unique_by=str))
+    cols, names = [], []
+    for name, strat in picked:
+        values = data.draw(st.lists(st.none(), min_size=n_rows,
+                                    max_size=n_rows)
+                           if False else strat.map(
+                               lambda xs: (xs + [None] * n_rows)[:n_rows]))
+        cols.append(pa.array(values, _PA_TYPES[name]))
+        names.append(name)
+    batch = pa.RecordBatch.from_arrays(cols, names=names)
+    blob, _ = pack_chunk(batch, EncodeConfig())
+    out = unpack_chunk(blob)
+    for nm in names:
+        assert out.column(nm).equals(batch.column(nm)), nm
