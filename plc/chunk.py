@@ -623,6 +623,12 @@ def pack_chunk(batch: pa.RecordBatch, cfg: EncodeConfig) -> tuple[bytes, dict]:
 
     Returns (blob, per-column codec names for the lineage manifest).
     """
+    if batch.num_columns > 255:
+        raise ValueError(f"chunk container supports ≤255 columns "
+                         f"(got {batch.num_columns}); split the table")
+    if batch.num_rows >= 1 << 32:
+        raise ValueError("chunk container supports <2^32 rows per chunk; "
+                         "lower max_chunk_values")  # pragma: no cover
     pieces = [MAGIC,
               struct.pack("<BIB", VERSION, batch.num_rows, batch.num_columns)]
     codecs = {}

@@ -194,3 +194,13 @@ def test_nulls_in_new_plane_types():
     out = unpack_chunk(blob)
     for name in batch.schema.names:
         assert out.column(name).equals(batch.column(name)), name
+
+
+def test_container_limits():
+    import pytest
+
+    wide = pa.RecordBatch.from_arrays(
+        [pa.array([1], pa.int32())] * 256,
+        names=[f"c{i}" for i in range(256)])
+    with pytest.raises(ValueError, match="255 columns"):
+        pack_chunk(wide, CFG)
