@@ -725,6 +725,17 @@ def decode(spark: SparkSession, dst: str, *, doc_id_min: str | None = None,
     return out
 
 
+def metrics(spark: SparkSession, dst: str) -> DataFrame:
+    """Per-partition lineage/compression metrics (P5 read side): one row
+    per committed part with chunk counts, row/token totals, raw vs encoded
+    bytes and the resulting ratio — the operational dashboard query."""
+    man = spark.read.parquet(_manifest_path(dst))
+    return (man.withColumn(
+        "ratio", F.when(F.col("enc_bytes") > 0,
+                        F.round(F.col("raw_bytes") / F.col("enc_bytes"), 4)))
+        .orderBy("part_id"))
+
+
 def verify(spark: SparkSession, src: DataFrame, dst: str,
            method: str = "checksum") -> dict:
     """P7: per-row token-array equality between source and decoded output

@@ -407,3 +407,19 @@ def test_resume_noop_schedules_zero_parts(spark, src_df):
         assert r2["newly_encoded"] == 0
     finally:
         shutil.rmtree(dst, ignore_errors=True)
+
+
+def test_metrics_rollup_reads_manifest(spark, src_df):
+    from plc.pipeline import metrics
+
+    dst = _dst()
+    try:
+        encode(spark, src_df, dst,
+               PipelineConfig(num_partitions=4, straggler_parts=0),
+               mode="overwrite")
+        m = metrics(spark, dst).collect()
+        assert len(m) == 4
+        assert all(r["ratio"] is None or r["ratio"] > 0 for r in m)
+        assert sum(r["n_rows"] for r in m) == 2000
+    finally:
+        shutil.rmtree(dst, ignore_errors=True)
