@@ -32,16 +32,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def tokens_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic tokens table derived from ``documents`` (FIXTURES.md §2):
-    the engine's input shape (doc_id string, tokens array<int>, n_tok, source)."""
-    docs = _t(spark, sf_dir, "documents")
-    toks = F.expr(
-        "transform(filter(split(text, ' '), w -> w <> ''), "
-        "w -> cast((length(w) * 7 + ascii(w)) % 50257 as int))")
-    return docs.select(
-        F.col("doc_id").cast("string").alias("doc_id"),
-        toks.alias("tokens"),
-        F.size(toks).cast("int").alias("n_tok"),
-        F.col("source"))
+    the engine's input shape (doc_id string, tokens array<int>, n_tok,
+    source) via the library tokenizer (plc.textstats.tokens_table)."""
+    from plc.textstats import tokens_table
+
+    return tokens_table(_t(spark, sf_dir, "documents"))
 
 
 def entry(spark: SparkSession) -> DataFrame:

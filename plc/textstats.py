@@ -38,6 +38,28 @@ def words_col(text_col: str | Column = "text") -> Column:
     return F.filter(F.split(t, " "), lambda w: w != "")
 
 
+def tokenize(text_col: str | Column = "text", vocab: int = 50257) -> Column:
+    """Deterministic word→token-id mapping (length/first-char hash mod
+    vocab) — the engine's stand-in tokenizer for text tables (FIXTURES.md
+    §2; real deployments plug a BPE here). Pure JVM expressions, and
+    engine-portable: the DuckDB oracles regenerate it verbatim."""
+    ws = words_col(text_col)
+    return F.transform(
+        ws, lambda w: ((F.length(w) * F.lit(7) + F.ascii(w))
+                       % F.lit(vocab)).cast("int"))
+
+
+def tokens_table(df, text_col: str = "text", id_col: str = "doc_id",
+                 vocab: int = 50257):
+    """documents-shaped table → the engine's input shape
+    (doc_id string, tokens array<int>, n_tok int, source passthrough)."""
+    toks = tokenize(text_col, vocab)
+    keep = [c for c in ("source",) if c in df.columns]
+    return df.select(F.col(id_col).cast("string").alias("doc_id"),
+                     toks.alias("tokens"),
+                     F.size(toks).cast("int").alias("n_tok"), *keep)
+
+
 def token_counts(text_col: str | Column = "text") -> tuple[Column, Column]:
     """(whitespace token count, BPE-ish subword estimate)."""
     ws = words_col(text_col)

@@ -1,0 +1,85 @@
+"""Integration: the training-data operators compose directly over the
+engine's OWN encoded store — tokenize → encode → decode → dedup/similarity/
+profile, proving a user can run the full pipeline without ever leaving the
+engine's storage format."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from plc.pipeline import PipelineConfig, decode, encode
+from plc.textstats import text_profile, tokens_table
+
+
+@pytest.fixture(scope="module")
+def encoded_docs(spark):
+    """documents (sf0.001) tokenized by the library tokenizer, encoded."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    tv = tokens_table(docs)
+    dst = tempfile.mkdtemp(prefix="plc_store_")
+    encode(spark, tv, dst, PipelineConfig(num_partitions=3,
+                                          straggler_parts=0),
+           mode="overwrite")
+    yield dst, tv
+    shutil.rmtree(dst, ignore_errors=True)
+
+
+def test_library_tokenizer_matches_entry_formula(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    lib = tokens_table(docs)
+    raw = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.expr("transform(filter(split(text, ' '), w -> w <> ''), "
+               "w -> cast((length(w) * 7 + ascii(w)) % 50257 as int))")
+        .alias("tokens"))
+    j = lib.alias("a").join(raw.alias("b"), "doc_id")
+    bad = j.filter(~F.col("a.tokens").eqNullSafe(F.col("b.tokens"))).count()
+    assert bad == 0
+
+
+def test_dedup_over_encoded_store(spark, encoded_docs):
+    dst, tv = encoded_docs
+    from plc.dedup import dedup_minhash, exact_dedup_stats
+
+    stored = decode(spark, dst)
+    stats = exact_dedup_stats(stored.withColumn(
+        "text", F.concat_ws(" ", "tokens")), "text", "doc_id").collect()[0]
+    assert stats["n_rows"] == tv.count()
+    survivors = dedup_minhash(stored, "doc_id", "tokens", threshold=0.9)
+    assert 0 < survivors.count() <= stats["n_rows"]
+
+
+def test_profile_over_encoded_store(spark, encoded_docs):
+    dst, tv = encoded_docs
+    stored = decode(spark, dst, columns=["doc_id", "tokens"])
+    # token-level stats straight off the decoded store
+    agg = stored.agg(
+        F.sum(F.size("tokens")).alias("total"),
+        F.countDistinct("doc_id").alias("docs")).collect()[0]
+    src = tv.agg(F.sum("n_tok").alias("total"),
+                 F.countDistinct("doc_id").alias("docs")).collect()[0]
+    assert (agg["total"], agg["docs"]) == (src["total"], src["docs"])
+
+
+def test_similarity_over_encoded_embeddings(spark):
+    from plc.similarity import brute_force_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    src = emb.select(F.format_string("v-%08d", "vec_id").alias("doc_id"),
+                     "vec_id", "embedding", "label")
+    dst = tempfile.mkdtemp(prefix="plc_semb_")
+    try:
+        encode(spark, src, dst, PipelineConfig(num_partitions=2,
+                                               straggler_parts=0),
+               mode="overwrite")
+        stored = decode(spark, dst, columns=["vec_id", "embedding"])
+        q = stored.filter("vec_id < 2").select(
+            F.col("vec_id").alias("query_id"), "embedding")
+        top = brute_force_topk(stored, q, k=3)
+        rows = top.collect()
+        assert len(rows) == 6
+        assert all(-1.0 <= r["cos"] <= 1.0 for r in rows)
+    finally:
+        shutil.rmtree(dst, ignore_errors=True)
