@@ -49,6 +49,12 @@ def main(argv=None) -> int:
     p_enc.add_argument("--overwrite", action="store_true")
     p_enc.add_argument("--no-zstd", action="store_true")
     p_enc.add_argument("--zstd-level", type=int, default=3)
+    p_enc.add_argument("--direct", action="store_true",
+                       help="executor-side pyarrow scan (clustered parquet "
+                            "input; no JVM scan/IPC)")
+    p_enc.add_argument("--no-shuffle", action="store_true",
+                       help="input already clustered by doc_id: skip the "
+                            "range exchange")
 
     p_dec = sub.add_parser("decode", help="E2: decode back to a table")
     common(p_dec)
@@ -65,22 +71,33 @@ def main(argv=None) -> int:
     p_ver.add_argument("--method", default="checksum",
                        choices=["checksum", "join"])
 
+    p_met = sub.add_parser("metrics",
+                           help="per-partition lineage/compression metrics")
+    common(p_met)
+
     args = ap.parse_args(argv)
     spark = _spark(args)
     try:
         from plc.chunk import EncodeConfig
-        from plc.pipeline import PipelineConfig, decode, encode, verify
+        from plc.pipeline import (PipelineConfig, decode, encode,
+                                  encode_direct, metrics, verify)
         from plc.sources import read_tokens
 
         if args.cmd == "encode":
             cfg = PipelineConfig(
                 num_partitions=args.partitions,
                 straggler_parts=args.straggler_parts,
+                shuffle="none" if args.no_shuffle else "range",
                 codec=EncodeConfig(use_zstd=not args.no_zstd,
                                    zstd_level=args.zstd_level))
-            df = read_tokens(spark, args.src, args.format)
-            rep = encode(spark, df, args.dst, cfg, resume=args.resume,
-                         mode="overwrite" if args.overwrite else "error")
+            mode = "overwrite" if args.overwrite else "error"
+            if args.direct:
+                rep = encode_direct(spark, args.src, args.dst, cfg,
+                                    resume=args.resume, mode=mode)
+            else:
+                df = read_tokens(spark, args.src, args.format)
+                rep = encode(spark, df, args.dst, cfg, resume=args.resume,
+                             mode=mode)
             print(json.dumps(rep))
         elif args.cmd == "decode":
             cols = args.columns.split(",") if args.columns else None
@@ -93,6 +110,9 @@ def main(argv=None) -> int:
             res = verify(spark, df, args.dst, method=args.method)
             print(json.dumps(res, default=str))
             return 0 if res["mismatches"] == 0 else 1
+        elif args.cmd == "metrics":
+            for row in metrics(spark, args.dst).collect():
+                print(json.dumps(row.asDict(), default=str))
         return 0
     finally:
         spark.stop()
