@@ -92,6 +92,16 @@ def main(argv=None) -> int:
                                    zstd_level=args.zstd_level))
             mode = "overwrite" if args.overwrite else "error"
             if args.direct:
+                dropped = []
+                if args.straggler_parts:
+                    dropped.append("--straggler-parts (direct mode has no "
+                                   "salt routing)")
+                if args.format not in ("auto", "parquet"):
+                    dropped.append("--format (direct mode reads parquet "
+                                   "files only)")
+                if dropped:
+                    print("warning: --direct ignores "
+                          + "; ".join(dropped), file=sys.stderr)
                 rep = encode_direct(spark, args.src, args.dst, cfg,
                                     resume=args.resume, mode=mode)
             else:

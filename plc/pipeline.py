@@ -168,10 +168,10 @@ def _make_encoder(plan: dict, cfg: PipelineConfig):
                 {"min": "", "max": ""}
             wstat = stats.get("n_tok", {})
             # raw bytes: the contract metric is raw TOKEN bytes (int32) for
-            # token tables; generic tables report Arrow buffer bytes so the
-            # manifest ratio stays meaningful (unit weights are not bytes)
-            raw_b = toks * 4 if wcol == "n_tok" else \
-                big.get_total_buffer_size()
+            # token tables; generic tables report Arrow LOGICAL bytes
+            # (nbytes is slice-aware; get_total_buffer_size would count the
+            # whole parent buffer of a zero-copy slice)
+            raw_b = toks * 4 if wcol == "n_tok" else int(big.nbytes)
             out = pa.RecordBatch.from_arrays([
                 pa.array([buf_part], pa.int32()),
                 pa.array([chunk_idx], pa.int32()),
@@ -487,9 +487,12 @@ def encode_direct(spark: SparkSession, src_path: str, dst: str,
 
     ensure_shipped(spark)
     pdf = spark.read.parquet(src_path)  # planning only (column-pruned scan)
-    if "n_tok" not in pdf.columns and "tokens" in pdf.columns:
-        pdf = pdf.withColumn("n_tok", F.when(F.col("tokens").isNull(), 0)
-                             .otherwise(F.size("tokens")).cast("int"))
+    if "n_tok" not in pdf.columns:
+        if "tokens" in pdf.columns:
+            pdf = pdf.withColumn("n_tok", F.when(F.col("tokens").isNull(), 0)
+                                 .otherwise(F.size("tokens")).cast("int"))
+        else:
+            pdf = pdf.withColumn("_w", F.lit(1))  # generic table unit weight
     plan, committed = _prepare_state(spark, pdf, dst, cfg, resume, mode)
     if plan.get("straggler_parts", 0) > 0:
         # a prior encode() run used salted straggler parts; the direct
@@ -514,14 +517,14 @@ def encode_direct(spark: SparkSession, src_path: str, dst: str,
 
     committed_ranges = [part_range(i) for i in sorted(committed)]
 
+    barr = np.array(bounds, dtype=str)
+
     def fully_committed(mn, mx):
         if mn is None or mx is None:
             return False
         # every part intersecting [mn, mx] is committed ⇔ rg skippable
-        lo_part = int(np.searchsorted(np.array(bounds, dtype=str),
-                                      mn, side="right"))
-        hi_part = int(np.searchsorted(np.array(bounds, dtype=str),
-                                      mx, side="right"))
+        lo_part = int(np.searchsorted(barr, mn, side="right"))
+        hi_part = int(np.searchsorted(barr, mx, side="right"))
         return all(p in committed for p in range(lo_part, hi_part + 1))
 
     # enumerate row groups (driver-side; one metadata read per file)
@@ -531,6 +534,20 @@ def encode_direct(spark: SparkSession, src_path: str, dst: str,
         ([src_path] if src_path.endswith(".parquet") else
          sorted(glob.glob(os.path.join(src_path, "**", "*.parquet"),
                           recursive=True)))
+    # hive-partitioned layouts materialize partition columns OUTSIDE the
+    # files; the direct scanner reads physical files only, so it would
+    # silently pack chunks missing those columns and the store would be
+    # undecodable — refuse up front
+    plan_cols = {f["name"] for f in plan["schema"]["fields"]}
+    file_cols = set(pq.ParquetFile(files[0]).schema_arrow.names)
+    missing = plan_cols - file_cols - {"n_tok"}  # n_tok derives from tokens
+    if missing:
+        raise ValueError(
+            f"columns {sorted(missing)} exist in the table schema but not "
+            f"in the parquet files (hive-partitioned layout?); "
+            f"encode_direct reads physical files only — use encode() for "
+            f"partitioned sources")
+
     per_file: list[tuple[str, list[int]]] = []
     total_groups = 0
     for f in files:

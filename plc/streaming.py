@@ -96,22 +96,25 @@ def stateful_dedup_stream(stream_df: DataFrame, *, n_buckets: int = 64,
     (``applyInPandasWithState``): rows whose content hash was seen in ANY
     earlier microbatch are dropped; first occurrence wins.
 
-    State layout: rows are hashed JVM-side (xxhash64 over the content
-    columns) and grouped by hash bucket; each bucket's GroupState holds the
-    seen-hash set. Buckets shard the state across executors exactly like a
-    shuffle key, so state size per task is |distinct|/n_buckets; a real
-    deployment backs this with the RocksDB state store."""
+    State layout: rows carry a 128-bit md5 content hash (a 64-bit hash
+    would false-drop distinct documents at billions of rows — birthday
+    collisions) and are grouped by a cheap xxhash64 bucket; each bucket's
+    GroupState holds the seen-hash set. Buckets shard the state across
+    executors exactly like a shuffle key, so state size per task is
+    |distinct|/n_buckets; a real deployment backs this with the RocksDB
+    state store."""
     import pandas as pd
 
     content = [c for c in stream_df.columns if c in ("tokens", "text")]
-    h = F.xxhash64(*content)
+    h = F.md5(F.to_json(F.struct(*content)))
     d = stream_df.select(*out_cols, h.alias("_h"),
-                         F.pmod(h, F.lit(n_buckets)).alias("_b"))
+                         F.pmod(F.xxhash64(*content),
+                                F.lit(n_buckets)).alias("_b"))
     out_schema = ", ".join(f"{c} {t}" for c, t in
                            zip(d.schema.names, [f.dataType.simpleString()
                                                 for f in d.schema.fields])
                            if c != "_b")
-    state_schema = "seen array<bigint>"
+    state_schema = "seen array<string>"
 
     def dedup_fn(key, pdfs, state):
         seen = set(state.get[0]) if state.exists else set()

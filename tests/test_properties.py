@@ -132,10 +132,8 @@ def test_pack_unpack_random_schema(n_rows, data):
                                 min_size=1, max_size=4, unique_by=str))
     cols, names = [], []
     for name, strat in picked:
-        values = data.draw(st.lists(st.none(), min_size=n_rows,
-                                    max_size=n_rows)
-                           if False else strat.map(
-                               lambda xs: (xs + [None] * n_rows)[:n_rows]))
+        values = data.draw(
+            strat.map(lambda xs: (xs + [None] * n_rows)[:n_rows]))
         cols.append(pa.array(values, _PA_TYPES[name]))
         names.append(name)
     batch = pa.RecordBatch.from_arrays(cols, names=names)
