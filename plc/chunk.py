@@ -25,6 +25,12 @@ Codecs:
    10 LISTGEN body := lengths-frame | values-frame (any numeric)  (K9 generic)
    11 BINARY  body := lengths-frame | bytes-frame                 (opaque blobs)
    12 FORBP   body := i64 ref | u8 dtype | u8 isz | transposed deltas (K5 var)
+   13 TYPED   body := u8 kind | u16 meta_len | meta(json) | inner frame(s)
+              (timestamp/date/time/duration → int storage view + unit/tz
+               metadata; decimal128 → int64 plane when the values fit,
+               else lo-uint64 + hi-int64 split planes)
+   14 STRUCT  body := u8 nfields | per field u16 name_len | name | frame
+              (each child recursively plane-encoded, incl. its own nulls)
 
 Chunk blob := b"PLC1" | u8 version | u32 n_rows | u8 ncols |
     per column: u16 name_len | name | u64 frame_len | u32 crc32 | frame
@@ -32,6 +38,7 @@ Chunk blob := b"PLC1" | u8 version | u32 n_rows | u8 ncols |
 
 from __future__ import annotations
 
+import json
 import struct
 import zlib
 from dataclasses import dataclass, field
@@ -45,13 +52,19 @@ MAGIC = b"PLC1"
 VERSION = 1
 
 (PLAIN, FOR, RLE, DICT, FSST, ZSTD, STRING, LIST32, NULLS, BYTEPLANE,
- LISTGEN, BINARY, FORBP) = range(13)
+ LISTGEN, BINARY, FORBP, TYPED, STRUCT) = range(15)
 CODEC_NAMES = ["plain", "for", "rle", "dict", "fsst", "zstd", "string",
-               "list", "nulls", "byteplane", "listgen", "binary", "forbp"]
+               "list", "nulls", "byteplane", "listgen", "binary", "forbp",
+               "typed", "struct"]
 
 _DTYPES = [np.dtype(t) for t in ("int32", "int64", "float32", "float64", "uint8",
-                                 "int16", "uint16", "uint32", "uint64", "bool")]
+                                 "int16", "uint16", "uint32", "uint64", "bool",
+                                 "int8", "float16")]
 _DTYPE_CODE = {dt: i for i, dt in enumerate(_DTYPES)}
+
+# TYPED frame kinds (logical types stored as integer planes + metadata)
+(_K_TIMESTAMP, _K_DATE32, _K_DATE64, _K_TIME32, _K_TIME64, _K_DURATION,
+ _K_DECIMAL128) = range(7)
 
 
 @dataclass
@@ -144,10 +157,11 @@ def _dict_int_frame(arr: np.ndarray, cfg: EncodeConfig) -> bytes:
     # hash-based dictionary encode (Arrow C++), ~5x faster than np.unique
     enc = pa.array(arr).dictionary_encode()
     values = enc.dictionary.to_numpy(zero_copy_only=False).astype(arr.dtype)
+    # indices stay at Arrow's natural width (int32) — no int64 widening
+    # memcpy on the hot path; FOR re-packs them to bits_needed(card) anyway
     idx = enc.indices.to_numpy(zero_copy_only=False)
     vals_frame = encode_int_plane(values, cfg, allow_dict=False, allow_zstd=False)
-    idx_frame = encode_int_plane(idx.astype(np.int64, copy=False), cfg,
-                                 allow_dict=False, allow_zstd=False)
+    idx_frame = encode_int_plane(idx, cfg, allow_dict=False, allow_zstd=False)
     return _frame(DICT, arr.size, vals_frame, idx_frame)
 
 
@@ -437,6 +451,134 @@ def encode_binary_plane(arr: pa.Array, cfg: EncodeConfig) -> bytes:
 
 
 # --------------------------------------------------------------------------
+# typed planes: temporal (timestamp/date/time/duration) + decimal128
+# --------------------------------------------------------------------------
+
+
+def _temporal_kind(t: pa.DataType):
+    """(kind, metadata, int storage type) for a temporal Arrow type; None if
+    ``t`` is not temporal. Storage is the raw epoch/ordinal integer view, so
+    FOR/RLE fit perfectly (timestamps cluster; dates repeat)."""
+    if pa.types.is_timestamp(t):
+        return _K_TIMESTAMP, {"unit": t.unit, "tz": t.tz}, pa.int64()
+    if pa.types.is_date32(t):
+        return _K_DATE32, {}, pa.int32()
+    if pa.types.is_date64(t):
+        return _K_DATE64, {}, pa.int64()
+    if pa.types.is_time32(t):
+        return _K_TIME32, {"unit": t.unit}, pa.int32()
+    if pa.types.is_time64(t):
+        return _K_TIME64, {"unit": t.unit}, pa.int64()
+    if pa.types.is_duration(t):
+        return _K_DURATION, {"unit": t.unit}, pa.int64()
+    return None
+
+
+def _typed_frame(kind: int, meta: dict, n: int, *inner: bytes) -> bytes:
+    mb = json.dumps(meta, separators=(",", ":")).encode()
+    return _frame(TYPED, n, struct.pack("<BH", kind, len(mb)), mb, *inner)
+
+
+def encode_temporal_plane(col: pa.Array, cfg: EncodeConfig) -> bytes:
+    """Timestamp/date/time/duration → integer storage view + unit/tz tag.
+    The view is bit-exact (no unit conversion), so round-trip is identity."""
+    kind, meta, storage = _temporal_kind(col.type)
+    arr = col.cast(storage).to_numpy(zero_copy_only=False)
+    arr = np.ascontiguousarray(arr)
+    return _typed_frame(kind, meta, len(col), encode_int_plane(arr, cfg))
+
+
+def encode_decimal_plane(col: pa.Array, cfg: EncodeConfig) -> bytes:
+    """decimal128(p, s): values whose 128-bit two's-complement fits int64
+    (every p ≤ 18, and most wider columns in practice) store ONE int64 plane
+    through the normal FOR/RLE/DICT selector; otherwise the 16-byte values
+    split into a lo-uint64 plane + hi-int64 plane (hi is almost always the
+    constant sign extension → RLE collapses it)."""
+    t = col.type
+    n = len(col)
+    meta = {"precision": t.precision, "scale": t.scale}
+    if n == 0:
+        return _typed_frame(_K_DECIMAL128, {**meta, "mode": "i64"}, 0,
+                            encode_int_plane(np.empty(0, np.int64), cfg))
+    raw = np.frombuffer(col.buffers()[1], np.uint8, count=16 * n,
+                        offset=col.offset * 16).reshape(n, 16)
+    lo = np.ascontiguousarray(raw[:, :8]).view(np.uint64).ravel()
+    hi = np.ascontiguousarray(raw[:, 8:]).view(np.int64).ravel()
+    if np.array_equal(hi, lo.view(np.int64) >> np.int64(63)):
+        return _typed_frame(_K_DECIMAL128, {**meta, "mode": "i64"}, n,
+                            encode_int_plane(lo.view(np.int64).copy(), cfg))
+    return _typed_frame(_K_DECIMAL128, {**meta, "mode": "split"}, n,
+                        encode_int_plane(lo.copy(), cfg),
+                        encode_int_plane(hi.copy(), cfg))
+
+
+def encode_struct_plane(col: pa.Array, cfg: EncodeConfig) -> bytes:
+    """Struct column: each child field recursively plane-encoded (with its
+    own NULLS wrapper when needed). Parent-level validity is handled by the
+    enclosing NULLS frame like any other plane."""
+    t = col.type
+    pieces = [struct.pack("<B", t.num_fields)]
+    for i in range(t.num_fields):
+        child = col.field(i)
+        frame = (_encode_with_nulls(child, cfg) if child.null_count > 0
+                 else encode_value_plane(child, cfg))
+        nb = t.field(i).name.encode()
+        pieces.append(struct.pack("<H", len(nb)) + nb + frame)
+    return _frame(STRUCT, len(col), *pieces)
+
+
+def _decode_typed(buf: memoryview, body: int, end: int, n: int):
+    kind, mlen = struct.unpack_from("<BH", buf, body)
+    meta = json.loads(bytes(buf[body + 3 : body + 3 + mlen]))
+    p = body + 3 + mlen
+    if kind == _K_DECIMAL128:
+        t = pa.decimal128(meta["precision"], meta["scale"])
+        first, p2 = decode_frame(buf, p)
+        if meta["mode"] == "i64":
+            lo = np.asarray(first, np.int64)
+            raw = np.empty((n, 16), np.uint8)
+            raw[:, :8] = lo.view(np.uint64).view(np.uint8).reshape(n, 8)
+            raw[:, 8:] = (lo >> np.int64(63)).view(np.uint8).reshape(n, 8)
+        else:
+            hi, _ = decode_frame(buf, p2)
+            raw = np.empty((n, 16), np.uint8)
+            raw[:, :8] = np.asarray(first, np.uint64).view(np.uint8) \
+                .reshape(n, 8)
+            raw[:, 8:] = np.asarray(hi, np.int64).view(np.uint8).reshape(n, 8)
+        return pa.Array.from_buffers(t, n, [None, pa.py_buffer(raw.tobytes())])
+    vals, _ = decode_frame(buf, p)
+    if kind == _K_TIMESTAMP:
+        t = pa.timestamp(meta["unit"], tz=meta["tz"])
+    elif kind == _K_DATE32:
+        t = pa.date32()
+    elif kind == _K_DATE64:
+        t = pa.date64()
+    elif kind == _K_TIME32:
+        t = pa.time32(meta["unit"])
+    elif kind == _K_TIME64:
+        t = pa.time64(meta["unit"])
+    elif kind == _K_DURATION:
+        t = pa.duration(meta["unit"])
+    else:  # pragma: no cover
+        raise ValueError(f"unknown TYPED kind {kind}")
+    return pa.array(np.asarray(vals)).view(t)
+
+
+def _decode_struct(buf: memoryview, body: int, n: int) -> pa.StructArray:
+    (nfields,) = struct.unpack_from("<B", buf, body)
+    pos = body + 1
+    names, arrays = [], []
+    for _ in range(nfields):
+        (nlen,) = struct.unpack_from("<H", buf, pos)
+        names.append(bytes(buf[pos + 2 : pos + 2 + nlen]).decode())
+        val, pos = decode_frame(buf, pos + 2 + nlen)
+        if isinstance(val, np.ndarray):
+            val = pa.array(val)
+        arrays.append(val)
+    return pa.StructArray.from_arrays(arrays, names=names)
+
+
+# --------------------------------------------------------------------------
 # decode (K14): exact inverses
 # --------------------------------------------------------------------------
 
@@ -523,6 +665,10 @@ def decode_frame(buf: memoryview, pos: int = 0):
             [None, pa.py_buffer(offsets.tobytes()),
              pa.py_buffer(np.asarray(data, np.uint8).tobytes())])
         return arr.cast(pa.binary()), end
+    if codec == TYPED:
+        return _decode_typed(buf, body, end, n), end
+    if codec == STRUCT:
+        return _decode_struct(buf, body, n), end
     if codec == FSST:
         return _decode_fsst_frame(buf, pos - 0), end  # pragma: no cover
     if codec == NULLS:
@@ -552,7 +698,12 @@ def _with_validity(values: pa.Array, mask: np.ndarray) -> pa.Array:
         out = pa.Array.from_buffers(big, len(v), [vb, v.buffers()[1]],
                                     children=[v.values])
         return out.cast(typ)
-    if values.num_buffers == 2:  # primitive layout: [validity, data]
+    if pa.types.is_struct(typ):
+        return pa.StructArray.from_arrays(
+            [values.field(i) for i in range(typ.num_fields)],
+            names=[typ.field(i).name for i in range(typ.num_fields)],
+            mask=pa.array(~mask))
+    if len(values.buffers()) == 2:  # primitive layout: [validity, data]
         return pa.Array.from_buffers(typ, len(values),
                                      [vb, values.buffers()[1]])
     raise TypeError(f"cannot attach validity to {typ}")  # pragma: no cover
@@ -589,20 +740,55 @@ def encode_value_plane(col: pa.Array, cfg: EncodeConfig) -> bytes:
         if pa.types.is_int32(t.value_type):
             return encode_list_plane(col, cfg)
         return encode_list_generic(col, cfg)
-    if pa.types.is_floating(t):
-        arr = col.to_numpy(zero_copy_only=False)
-        return encode_float_plane(np.ascontiguousarray(arr), cfg)
-    if pa.types.is_integer(t) or pa.types.is_boolean(t):
-        arr = col.to_numpy(zero_copy_only=False)
-        return encode_int_plane(np.ascontiguousarray(arr), cfg)
+    if pa.types.is_struct(t):
+        return encode_struct_plane(col, cfg)
+    if _temporal_kind(t) is not None:
+        return encode_temporal_plane(col, cfg)
+    if pa.types.is_decimal128(t):
+        return encode_decimal_plane(col, cfg)
+    if pa.types.is_floating(t) or pa.types.is_integer(t) \
+            or pa.types.is_boolean(t):
+        arr = np.ascontiguousarray(col.to_numpy(zero_copy_only=False))
+        if arr.dtype not in _DTYPE_CODE:  # e.g. float16 via an odd cast path
+            raise TypeError(f"unsupported column type {t} "
+                            f"(numpy dtype {arr.dtype})")
+        if arr.dtype.kind == "f":
+            return encode_float_plane(arr, cfg)
+        return encode_int_plane(arr, cfg)
     raise TypeError(f"unsupported column type {t}")
+
+
+_STAT_PREFIX = 64  # string min/max stored as parquet-style bounded prefixes
+
+
+def _truncate_min(s: str) -> str:
+    return s[:_STAT_PREFIX]
+
+
+def _truncate_max(s: str) -> str:
+    """Parquet-style upper bound: a truncated max prefix has its last code
+    point incremented so it stays >= every value it summarizes (range
+    pruning in decode() remains correct; documents-style tables no longer
+    embed full texts in the stats JSON)."""
+    if len(s) <= _STAT_PREFIX:
+        return s
+    p = list(s[:_STAT_PREFIX])
+    for i in range(len(p) - 1, -1, -1):
+        cp = ord(p[i])
+        # skip code points whose successor is unrepresentable/surrogate
+        if cp < 0xD7FF or 0xE000 <= cp < 0x10FFFF:
+            return "".join(p[:i]) + chr(cp + 1)
+        p.pop()
+    return s  # every prefix char saturated: keep the exact value
 
 
 def column_stats(batch: pa.RecordBatch) -> dict:
     """Per-column chunk statistics for the lineage manifest / enc table:
     min/max for numeric and string scalars, null_count for everything.
     Metadata-level (like parquet column-chunk stats) so decode can prune
-    chunks on any predicate column without touching the payload blob."""
+    chunks on any predicate column without touching the payload blob.
+    String bounds are truncated prefixes (min as-is, max incremented) so
+    long-document tables don't embed full texts in the manifest."""
     import pyarrow.compute as pc
 
     out = {}
@@ -613,7 +799,11 @@ def column_stats(batch: pa.RecordBatch) -> dict:
                 or pa.types.is_string(t) or pa.types.is_large_string(t)):
             if len(col) - col.null_count > 0:
                 mm = pc.min_max(col).as_py()
-                st["min"], st["max"] = mm["min"], mm["max"]
+                if pa.types.is_string(t) or pa.types.is_large_string(t):
+                    st["min"] = _truncate_min(mm["min"])
+                    st["max"] = _truncate_max(mm["max"])
+                else:
+                    st["min"], st["max"] = mm["min"], mm["max"]
         out[name] = st
     return out
 
@@ -650,19 +840,34 @@ def pack_chunk(batch: pa.RecordBatch, cfg: EncodeConfig) -> tuple[bytes, dict]:
 def _encode_with_nulls(col: pa.Array, cfg: EncodeConfig) -> bytes:
     mask = ~np.asarray(col.is_null())
     t = col.type
-    if pa.types.is_list(t) or pa.types.is_large_list(t):
-        fill = []
-    elif pa.types.is_string(t) or pa.types.is_large_string(t):
-        fill = ""
-    elif pa.types.is_binary(t) or pa.types.is_large_binary(t):
-        fill = b""
-    elif pa.types.is_boolean(t):
-        fill = False
-    else:
-        fill = 0
-    filled = col.fill_null(fill)
     validity_frame = encode_int_plane(mask.astype(np.int64), cfg,
                                       allow_zstd=False)
+    if pa.types.is_struct(t):
+        # children carry their own validity; parent nulls live in this
+        # wrapper. Child values under null parents encode as-is.
+        return _frame(NULLS, len(col), validity_frame,
+                      encode_value_plane(col, cfg))
+    tk = _temporal_kind(t)
+    if tk is not None:
+        # fill through the integer storage view (deterministic zero epoch),
+        # then view back so the typed encoder sees a null-free column
+        filled = col.cast(tk[2]).fill_null(0).cast(t)
+    elif pa.types.is_decimal128(t):
+        import decimal
+
+        filled = col.fill_null(decimal.Decimal(0).scaleb(-t.scale))
+    else:
+        if pa.types.is_list(t) or pa.types.is_large_list(t):
+            fill = []
+        elif pa.types.is_string(t) or pa.types.is_large_string(t):
+            fill = ""
+        elif pa.types.is_binary(t) or pa.types.is_large_binary(t):
+            fill = b""
+        elif pa.types.is_boolean(t):
+            fill = False
+        else:
+            fill = 0
+        filled = col.fill_null(fill)
     return _frame(NULLS, len(col), validity_frame,
                   encode_value_plane(filled, cfg))
 

