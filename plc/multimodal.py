@@ -33,15 +33,43 @@ MEDIA_META_DDL = ("media_type string, width int, height int, "
 # --------------------------------------------------------------------------
 
 
-def decode_image_real(payloads: pa.Array) -> np.ndarray:  # pragma: no cover
-    """Real image decode — requires PIL, which this environment lacks."""
+def decode_image_real(payloads: pa.Array, n_features: int = 8,
+                      thumb: int = 8) -> np.ndarray:
+    """Real image feature kernel (VERDICT r2 #7): PIL-decode each payload,
+    grayscale-resize to a ``thumb``×``thumb`` raster, and emit per-image
+    intensity-histogram features — same (n_rows, n_features) float32
+    contract as :func:`fake_feature_kernel`, so it drops into
+    :func:`extract_features` unchanged on a cluster that ships PIL.
+
+    The per-image Python loop is the image DECODER (libjpeg/libpng work,
+    inherently per-blob); the Spark side still sees whole Arrow batches.
+    Undecodable/empty payloads yield a zero row rather than failing the
+    batch. Raises NotImplementedError when PIL is absent (this sandbox)."""
     try:
-        from PIL import Image  # noqa: F401
+        from PIL import Image
     except ImportError as e:
         raise NotImplementedError(
             "image decoding needs PIL; this sandbox ships no media "
             "libraries — use fake_feature_kernel for plumbing tests") from e
-    raise NotImplementedError("wire PIL decode here on a real cluster")
+    import io
+
+    payloads = payloads.cast(pa.large_binary())
+    n = len(payloads)
+    out = np.zeros((n, n_features), np.float32)
+    for i in range(n):
+        blob = payloads[i].as_py()
+        if not blob:
+            continue
+        try:
+            img = Image.open(io.BytesIO(blob)).convert("L") \
+                .resize((thumb, thumb))
+        except Exception:
+            continue  # undecodable media → zero feature row
+        px = np.asarray(img, dtype=np.uint8).ravel()
+        hist = np.bincount(px >> np.uint8(8 - (n_features - 1).bit_length()),
+                           minlength=n_features)[:n_features]
+        out[i] = hist / max(px.size, 1)
+    return out
 
 
 def fake_feature_kernel(payloads: pa.Array, n_features: int = 8

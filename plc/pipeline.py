@@ -486,6 +486,16 @@ def encode_direct(spark: SparkSession, src_path: str, dst: str,
     from plc.util import ensure_shipped
 
     ensure_shipped(spark)
+    # enumerate source files FIRST: an empty/wrong src_path must fail
+    # before _prepare_state writes any plan/manifest state to dst
+    import glob
+
+    files = sorted(glob.glob(os.path.join(src_path, "*.parquet"))) or \
+        ([src_path] if src_path.endswith(".parquet") else
+         sorted(glob.glob(os.path.join(src_path, "**", "*.parquet"),
+                          recursive=True)))
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {src_path}")
     pdf = spark.read.parquet(src_path)  # planning only (column-pruned scan)
     if "n_tok" not in pdf.columns:
         if "tokens" in pdf.columns:
@@ -527,13 +537,6 @@ def encode_direct(spark: SparkSession, src_path: str, dst: str,
         hi_part = int(np.searchsorted(barr, mx, side="right"))
         return all(p in committed for p in range(lo_part, hi_part + 1))
 
-    # enumerate row groups (driver-side; one metadata read per file)
-    import glob
-
-    files = sorted(glob.glob(os.path.join(src_path, "*.parquet"))) or \
-        ([src_path] if src_path.endswith(".parquet") else
-         sorted(glob.glob(os.path.join(src_path, "**", "*.parquet"),
-                          recursive=True)))
     # hive-partitioned layouts materialize partition columns OUTSIDE the
     # files; the direct scanner reads physical files only, so it would
     # silently pack chunks missing those columns and the store would be
@@ -548,9 +551,13 @@ def encode_direct(spark: SparkSession, src_path: str, dst: str,
             f"encode_direct reads physical files only — use encode() for "
             f"partitioned sources")
 
-    per_file: list[tuple[str, list[int]]] = []
-    total_groups = 0
-    for f in files:
+    # row-group enumeration: footer metadata reads fan out on a thread
+    # pool (pyarrow releases the GIL on I/O) — serial per-file opens put
+    # minutes of driver wall before any work at ~10^5-file scale
+    # (VERDICT r2 #4); at even larger scale this becomes a tiny Spark job
+    from concurrent.futures import ThreadPoolExecutor
+
+    def plan_file(f: str) -> tuple[str, list[int]]:
         md = pq.ParquetFile(f).metadata
         names = [md.schema.column(i).name for i in range(md.num_columns)]
         doc_col = names.index("doc_id")
@@ -561,8 +568,11 @@ def encode_direct(spark: SparkSession, src_path: str, dst: str,
                     and fully_committed(st.min, st.max)):
                 continue
             keep.append(g)
-        per_file.append((f, keep))
-        total_groups += len(keep)
+        return f, keep
+
+    with ThreadPoolExecutor(max_workers=min(32, len(files))) as pool:
+        per_file = list(pool.map(plan_file, files))  # preserves file order
+    total_groups = sum(len(keep) for _, keep in per_file)
     # contiguous row-group runs per task, sized so task count ≈ 2× cores
     # (longer runs amortize chunk/codec tables; too long starves cores)
     par = spark.sparkContext.defaultParallelism
@@ -650,24 +660,15 @@ def _read_enc(spark: SparkSession, dst: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-def decode(spark: SparkSession, dst: str, *, doc_id_min: str | None = None,
-           doc_id_max: str | None = None,
-           columns: list[str] | None = None,
-           filters: dict[str, tuple] | None = None) -> DataFrame:
-    """Read encoded chunks back as the original table. Only committed parts
-    are read (manifest semi-join); doc_id bounds prune chunks via the
-    min/max manifest columns (plain filter → parquet row-group skipping);
-    ``columns`` prunes at the storage level — unrequested column frames are
-    skipped by length inside the chunk, never decoded.
-
-    ``filters``: {column: (lo, hi)} inclusive range predicates. Chunks whose
-    per-column stats exclude the range are skipped entirely — the weight
-    column (n_tok) via the typed min_w/max_w columns (parquet-pushable),
-    everything else via the per-chunk stats JSON — then an exact row filter
-    runs on the decoded output."""
-    from plc.util import ensure_shipped
-
-    ensure_shipped(spark)
+def select_chunks(spark: SparkSession, dst: str, *,
+                  doc_id_min: str | None = None,
+                  doc_id_max: str | None = None,
+                  filters: dict[str, tuple] | None = None
+                  ) -> tuple[DataFrame, dict]:
+    """Chunk-selection head shared by :func:`decode` and storage-pruning
+    tests: committed-part semi-join + doc_id bounds + per-chunk stats
+    pruning. Returns (pruned enc-chunk DataFrame, plan). Counting rows of
+    the result shows exactly how many chunks a decode would touch."""
     plan = _load_plan(spark, dst)
     schema = StructType.fromJson(plan["schema"])
     known = {f.name for f in schema.fields}
@@ -705,6 +706,32 @@ def decode(spark: SparkSession, dst: str, *, doc_id_min: str | None = None,
             if hi is not None:
                 enc = enc.filter(smin.isNull() |
                                  (smin.cast(cast_t) <= F.lit(hi)))
+    return enc, plan
+
+
+def decode(spark: SparkSession, dst: str, *, doc_id_min: str | None = None,
+           doc_id_max: str | None = None,
+           columns: list[str] | None = None,
+           filters: dict[str, tuple] | None = None) -> DataFrame:
+    """Read encoded chunks back as the original table. Only committed parts
+    are read (manifest semi-join); doc_id bounds prune chunks via the
+    min/max manifest columns (plain filter → parquet row-group skipping);
+    ``columns`` prunes at the storage level — unrequested column frames are
+    skipped by length inside the chunk, never decoded.
+
+    ``filters``: {column: (lo, hi)} inclusive range predicates. Chunks whose
+    per-column stats exclude the range are skipped entirely — the weight
+    column (n_tok) via the typed min_w/max_w columns (parquet-pushable),
+    everything else via the per-chunk stats JSON — then an exact row filter
+    runs on the decoded output."""
+    from plc.util import ensure_shipped
+
+    ensure_shipped(spark)
+    filters = dict(filters or {})
+    enc, plan = select_chunks(spark, dst, doc_id_min=doc_id_min,
+                              doc_id_max=doc_id_max, filters=filters)
+    schema = StructType.fromJson(plan["schema"])
+    known = {f.name for f in schema.fields}
 
     bounded = doc_id_min is not None or doc_id_max is not None
     if columns is not None:

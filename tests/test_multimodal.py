@@ -100,3 +100,51 @@ def test_fake_kernel_handles_sliced_arrays():
 def test_real_decoder_is_gated():
     with pytest.raises(NotImplementedError, match="PIL"):
         decode_image_real(pa.array([b"x"], pa.binary()))
+
+
+def test_decode_image_real_gated_without_pil():
+    """In environments without PIL the real kernel raises the documented
+    NotImplementedError (never a raw ImportError deep in a worker)."""
+    import pyarrow as pa
+
+    from plc.multimodal import decode_image_real
+
+    try:
+        import PIL  # noqa: F401
+        pytest.skip("PIL present; covered by test_decode_image_real_with_pil")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="needs PIL"):
+        decode_image_real(pa.array([b"\x89PNG..."], pa.binary()))
+
+
+def test_decode_image_real_with_pil(spark):
+    """On a cluster that ships PIL, the real kernel decodes actual images
+    through the same extract_features plumbing as the fake kernel
+    (VERDICT r2 #7 done-criterion)."""
+    import io
+
+    import numpy as np
+    import pyarrow as pa
+
+    PIL = pytest.importorskip("PIL")
+    from PIL import Image
+
+    from plc.multimodal import decode_image_real, extract_features
+
+    blobs = []
+    for shade in (0, 128, 255):
+        img = Image.new("L", (32, 32), shade)
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        blobs.append(buf.getvalue())
+    # kernel-level: constant-shade images put all mass in one bucket
+    feats = decode_image_real(pa.array(blobs, pa.binary()), n_features=8)
+    assert feats.shape == (3, 8)
+    assert np.isclose(feats[0, 0], 1.0) and np.isclose(feats[2, 7], 1.0)
+    # plumbing-level: same operator, real kernel
+    df = spark.createDataFrame(
+        [(i, b) for i, b in enumerate(blobs)],
+        "media_id bigint, payload binary")
+    out = extract_features(df, kernel=decode_image_real).collect()
+    assert len(out) == 3 and all(len(r["features"]) == 8 for r in out)

@@ -178,3 +178,42 @@ def test_compact_stream(spark):
     finally:
         for d in (src, dst, ckpt, os.path.dirname(out)):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_bloom_state_is_fixed_size():
+    """VERDICT r2 #4 done-criterion: dedup state is O(1) per bucket —
+    the Bloom byte array has the same length after 10 inserts and after
+    100k inserts, and inserted elements are always found (no false
+    negatives, ever)."""
+    import numpy as np
+
+    from plc.streaming import _bloom_positions
+
+    m_bits = 1 << 20
+    bloom = np.zeros(m_bits // 8, np.uint8)
+    rng = np.random.default_rng(7)
+
+    def insert(h1, h2):
+        bi, mk = _bloom_positions(h1, h2, m_bits)
+        np.bitwise_or.at(bloom, bi.ravel(), mk.ravel())
+
+    def contains(h1, h2):
+        bi, mk = _bloom_positions(h1, h2, m_bits)
+        return ((bloom[bi] & mk) == mk).all(axis=0)
+
+    small1 = rng.integers(0, 2**63, 10).astype(np.uint64)
+    small2 = rng.integers(0, 2**63, 10).astype(np.uint64)
+    insert(small1, small2)
+    size_after_small = bloom.nbytes
+    big1 = rng.integers(0, 2**63, 100_000).astype(np.uint64)
+    big2 = rng.integers(0, 2**63, 100_000).astype(np.uint64)
+    insert(big1, big2)
+    assert bloom.nbytes == size_after_small == m_bits // 8
+    assert contains(small1, small2).all()  # no false negatives
+    assert contains(big1, big2).all()
+    # false-positive rate stays near theory at this load (n=100k, m=2^20,
+    # k=7 -> (1-e^{-kn/m})^k ~ 0.7%): probe fresh random hashes
+    probe1 = rng.integers(0, 2**63, 20_000).astype(np.uint64)
+    probe2 = rng.integers(0, 2**63, 20_000).astype(np.uint64)
+    fpr = contains(probe1, probe2).mean()
+    assert fpr < 0.03, fpr
