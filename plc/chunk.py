@@ -28,7 +28,8 @@ Codecs:
    13 TYPED   body := u8 kind | u16 meta_len | meta(json) | inner frame(s)
               (timestamp/date/time/duration → int storage view + unit/tz
                metadata; decimal128 → int64 plane when the values fit,
-               else lo-uint64 + hi-int64 split planes)
+               else lo-uint64 + hi-int64 split planes; map<k,v> →
+               lengths plane + entries STRUCT plane)
    14 STRUCT  body := u8 nfields | per field u16 name_len | name | frame
               (each child recursively plane-encoded, incl. its own nulls)
 
@@ -64,7 +65,7 @@ _DTYPE_CODE = {dt: i for i, dt in enumerate(_DTYPES)}
 
 # TYPED frame kinds (logical types stored as integer planes + metadata)
 (_K_TIMESTAMP, _K_DATE32, _K_DATE64, _K_TIME32, _K_TIME64, _K_DURATION,
- _K_DECIMAL128) = range(7)
+ _K_DECIMAL128, _K_MAP) = range(8)
 
 
 @dataclass
@@ -512,6 +513,33 @@ def encode_decimal_plane(col: pa.Array, cfg: EncodeConfig) -> bytes:
                         encode_int_plane(hi.copy(), cfg))
 
 
+def encode_map_plane(col: pa.Array, cfg: EncodeConfig) -> bytes:
+    """map<k, v>: per-row entry counts (lengths plane) + the flat entries
+    as a STRUCT plane (key + value children, each codec-selected). Keys are
+    non-null by Arrow's map contract; values may carry their own NULLS
+    wrapper. Null map slots are handled by the enclosing NULLS frame."""
+    t = col.type
+    n = len(col)
+    if n == 0:
+        return _typed_frame(
+            _K_MAP, {"sorted": bool(t.keys_sorted)}, 0,
+            encode_int_plane(np.empty(0, np.int64), cfg),
+            encode_struct_plane(pa.StructArray.from_arrays(
+                [pa.array([], t.key_type), pa.array([], t.item_type)],
+                names=["key", "value"]), cfg))
+    offsets = np.frombuffer(col.buffers()[1], np.int32, count=n + 1,
+                            offset=col.offset * 4).astype(np.int64)
+    lengths = np.diff(offsets)
+    lo, hi = int(offsets[0]), int(offsets[-1])
+    # .keys/.items return the FULL child buffer; slice to this array's view
+    entries = pa.StructArray.from_arrays(
+        [col.keys.slice(lo, hi - lo), col.items.slice(lo, hi - lo)],
+        names=["key", "value"])
+    return _typed_frame(_K_MAP, {"sorted": bool(t.keys_sorted)}, n,
+                        encode_int_plane(lengths, cfg),
+                        encode_struct_plane(entries, cfg))
+
+
 def encode_struct_plane(col: pa.Array, cfg: EncodeConfig) -> bytes:
     """Struct column: each child field recursively plane-encoded (with its
     own NULLS wrapper when needed). Parent-level validity is handled by the
@@ -546,6 +574,16 @@ def _decode_typed(buf: memoryview, body: int, end: int, n: int):
                 .reshape(n, 8)
             raw[:, 8:] = np.asarray(hi, np.int64).view(np.uint8).reshape(n, 8)
         return pa.Array.from_buffers(t, n, [None, pa.py_buffer(raw.tobytes())])
+    if kind == _K_MAP:
+        lengths, p2 = decode_frame(buf, p)
+        entries, _ = decode_frame(buf, p2)  # StructArray<key, value>
+        from plc.kernels import offsets_from_lengths
+
+        offs = offsets_from_lengths(np.asarray(lengths)).astype(np.int32)
+        t = pa.map_(entries.type.field(0).type, entries.type.field(1).type,
+                    keys_sorted=meta["sorted"])
+        return pa.Array.from_buffers(
+            t, n, [None, pa.py_buffer(offs.tobytes())], children=[entries])
     vals, _ = decode_frame(buf, p)
     if kind == _K_TIMESTAMP:
         t = pa.timestamp(meta["unit"], tz=meta["tz"])
@@ -703,6 +741,12 @@ def _with_validity(values: pa.Array, mask: np.ndarray) -> pa.Array:
             [values.field(i) for i in range(typ.num_fields)],
             names=[typ.field(i).name for i in range(typ.num_fields)],
             mask=pa.array(~mask))
+    if pa.types.is_map(typ):
+        entries = pa.StructArray.from_arrays(
+            [values.keys, values.items], names=["key", "value"])
+        return pa.Array.from_buffers(typ, len(values),
+                                     [vb, values.buffers()[1]],
+                                     children=[entries])
     if len(values.buffers()) == 2:  # primitive layout: [validity, data]
         return pa.Array.from_buffers(typ, len(values),
                                      [vb, values.buffers()[1]])
@@ -740,6 +784,8 @@ def encode_value_plane(col: pa.Array, cfg: EncodeConfig) -> bytes:
         if pa.types.is_int32(t.value_type):
             return encode_list_plane(col, cfg)
         return encode_list_generic(col, cfg)
+    if pa.types.is_map(t):
+        return encode_map_plane(col, cfg)
     if pa.types.is_struct(t):
         return encode_struct_plane(col, cfg)
     if _temporal_kind(t) is not None:
@@ -842,9 +888,10 @@ def _encode_with_nulls(col: pa.Array, cfg: EncodeConfig) -> bytes:
     t = col.type
     validity_frame = encode_int_plane(mask.astype(np.int64), cfg,
                                       allow_zstd=False)
-    if pa.types.is_struct(t):
+    if pa.types.is_struct(t) or pa.types.is_map(t):
         # children carry their own validity; parent nulls live in this
-        # wrapper. Child values under null parents encode as-is.
+        # wrapper. Child values under null parents encode as-is (null map
+        # slots are zero-length by offsets construction).
         return _frame(NULLS, len(col), validity_frame,
                       encode_value_plane(col, cfg))
     tk = _temporal_kind(t)

@@ -276,10 +276,29 @@ def test_int8_float16_planes():
 
 def test_unsupported_type_raises_cleanly():
     batch = pa.RecordBatch.from_arrays(
-        [pa.array([{1: "a"}, {2: "b"}], pa.map_(pa.int32(), pa.string()))],
-        names=["m"])
+        [pa.array(["a", "b", "a"]).dictionary_encode()], names=["d"])
     with pytest.raises(TypeError, match="unsupported column type"):
         pack_chunk(batch, CFG)
+
+
+def test_map_plane_roundtrip():
+    """map<k,v> columns (Spark MapType) round-trip: plain, sliced, null
+    slots, null values, empty maps."""
+    t = pa.map_(pa.int32(), pa.string())
+    full = pa.array([{1: "a"}, {2: "b", 3: "c"}, {}, {4: None}, None] * 40, t)
+    cases = {
+        "plain": full.fill_null({}),
+        "with_nulls": full,
+        "sliced": full.slice(3, 150),
+        "str_keys": pa.array([{"x": 1.5}, {"y": 2.5, "z": None}] * 50,
+                             pa.map_(pa.string(), pa.float64())),
+    }
+    for name, arr in cases.items():
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        batch = pa.RecordBatch.from_arrays([arr], names=["m"])
+        blob, codecs = pack_chunk(batch, CFG)
+        out = unpack_chunk(blob)
+        assert out.column("m").equals(arr), name
 
 
 def test_dict_indices_natural_width():

@@ -105,3 +105,29 @@ def test_events_table_through_store(spark):
         assert dict(dec.dtypes)["ts"] == dict(ev.dtypes)["ts"]
     finally:
         shutil.rmtree(dst, ignore_errors=True)
+
+
+def test_map_column_through_store(spark):
+    """Spark MapType columns (TYPED map plane: lengths + entries struct)
+    round-trip through the full pipeline; maps are compared via to_json
+    (Spark maps are not join/hash-comparable)."""
+    import tempfile
+
+    df = spark.range(300).select(
+        F.format_string("doc-%08d", "id").alias("doc_id"),
+        F.create_map(F.lit("a"), F.col("id").cast("int"),
+                     F.lit("b"), (F.col("id") * 2).cast("int")).alias("attrs"),
+        F.when(F.col("id") % 7 == 0, F.lit(None)).otherwise(
+            F.create_map(F.lit("x"), F.lit(1.5))).alias("sparse"))
+    dst = tempfile.mkdtemp(prefix="plc_map_store_")
+    try:
+        encode(spark, df, dst, PipelineConfig(num_partitions=2,
+                                              straggler_parts=0),
+               mode="overwrite")
+        dec = decode(spark, dst)
+        j = lambda d: sorted(d.select(
+            "doc_id", F.to_json("attrs").alias("a"),
+            F.to_json("sparse").alias("s")).collect())
+        assert j(df) == j(dec)
+    finally:
+        shutil.rmtree(dst, ignore_errors=True)
