@@ -329,6 +329,23 @@ def _fingerprint_stats(spark, sf):
                   F.min("fp").alias("min_fp"), F.max("fp").alias("max_fp"))
 
 
+def _simhash_near_dup(spark, sf):
+    """Banded SimHash near-dup pairs over the tokens view: 56-bit per-bit
+    universal-hash signatures (Arrow kernel), 4×14-bit bands (pigeonhole-
+    exact for hamming ≤ 3), exact Hamming verify. The Hamming-sketch
+    complement of the MinHash-LSH Jaccard path."""
+    from plc.dedup import simhash_candidates
+
+    tv = tokens_view(spark, sf)
+    out = simhash_candidates(tv, "doc_id", bits=56, bands=4, seed=42,
+                             max_hamming=3)
+    return out.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("hamming").alias("sum_hamming"),
+        F.sum(F.when(F.col("hamming") == 0, 1).otherwise(0))
+        .alias("n_exact"))
+
+
 def _dedup_minhash_survivors(spark, sf):
     """Non-SQL: full near-dup removal (LSH → verify → connected components
     → keep min doc_id per cluster). Rows-only driver check; planted-dup
@@ -497,6 +514,44 @@ def _minhash_pairs_sql() -> str:
     """
 
 
+def _simhash_sql(bits: int = 56, bands: int = 4, max_hamming: int = 3,
+                 seed: int = 42) -> str:
+    from plc.dedup import MERSENNE_P, hash_params
+
+    w = bits // bands
+    votes = []
+    for a, c in hash_params(bits, seed):
+        votes.append(
+            f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(dts, t -> "
+            f"((CAST(t AS BIGINT) * {a} + {c}) % {MERSENNE_P} % 2) * 2 - 1)), "
+            f"(x, y) -> x + y)")
+    sig = " + ".join(f"(CASE WHEN {v} > 0 THEN {1 << b} ELSE 0 END)"
+                     for b, v in enumerate(votes))
+    band_rows = "\n            UNION ALL ".join(
+        f"SELECT doc_id, sig, {i} AS band, "
+        f"(sig >> {i * w}) % {1 << w} AS bval FROM sigs"
+        for i in range(bands))
+    return f"""
+        WITH docs AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                             {_TOKENS_SQL} AS tokens FROM documents),
+        d2 AS (SELECT doc_id, list_distinct(tokens) AS dts FROM docs),
+        sigs AS (SELECT doc_id, CAST({sig} AS BIGINT) AS sig FROM d2),
+        bands AS ({band_rows}),
+        pairs AS (SELECT DISTINCT a.doc_id AS ka, b.doc_id AS kb,
+                         a.sig AS sa, b.sig AS sb
+                  FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.bval = b.bval
+                   AND a.doc_id < b.doc_id),
+        ham AS (SELECT bit_count(xor(sa, sb)) AS h FROM pairs)
+        SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(h) AS BIGINT) AS sum_hamming,
+               CAST(sum(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_exact
+        FROM ham WHERE h <= {max_hamming}
+    """
+
+
 def _dot_sql(a: str, b: str, n: int = 64) -> str:
     return (f"list_reduce(list_prepend(0.0, list_transform(range({n}), "
             f"i -> CAST({a}[i+1] AS DOUBLE) * CAST({b}[i+1] AS DOUBLE))), "
@@ -656,6 +711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders": _topk_orders,
         "dedup_exact_stats": _dedup_exact_stats,
         "dedup_minhash_pairs": _dedup_minhash_pairs,
+        "simhash_near_dup": _simhash_near_dup,
         "knn_cosine_topk": _knn_cosine_topk,
         "ann_lsh_buckets": _ann_lsh_buckets,
         "embedding_near_dup": _embedding_near_dup,
@@ -776,6 +832,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY source
         """,
         "dedup_minhash_pairs": _minhash_pairs_sql(),
+        "simhash_near_dup": _simhash_sql(),
         "knn_cosine_topk": _knn_sql(),
         "ann_lsh_buckets": _ann_lsh_buckets_sql(),
         "embedding_near_dup": _embedding_near_dup_sql(),

@@ -113,3 +113,37 @@ def test_shingle_k4_no_int64_wrap(spark):
         sh, sh_off = _shingle_arrays(batch, "tokens", k, SHINGLE_MOD)
         assert list(sh) == jvm, f"k={k}"
         assert all(0 <= s < SHINGLE_MOD for s in jvm), f"k={k} out of range"
+
+
+def test_simhash_candidates_banded(spark):
+    """Banded SimHash: finds planted exact + near dups (hamming 0 / small),
+    never misses a pair within the pigeonhole bound, and the Arrow kernel
+    signature is bit-identical to the JVM expression."""
+    from plc.dedup import simhash_candidates, simhash_sigs
+
+    df = _docs_with_dups(spark)
+    out = simhash_candidates(df, "doc_id", bits=56, bands=4,
+                             max_hamming=3).collect()
+    pairs = {(r["key_a"], r["key_b"]): r["hamming"] for r in out}
+    # exact dups (identical tokens) must appear with hamming 0
+    for i in range(8, 12):
+        key = (f"doc-{i:04d}", f"xdup-{i:04d}")
+        assert key in pairs and pairs[key] == 0, key
+    # brute-force check: every pair with hamming <= 3 was found (pigeonhole)
+    sigs = {r["k"]: r["sig"] for r in
+            simhash_sigs(df, "doc_id", bits=56).collect()}
+    ks = sorted(sigs)
+    brute = {(a, b): bin(sigs[a] ^ sigs[b]).count("1")
+             for i, a in enumerate(ks) for b in ks[i + 1:]
+             if bin(sigs[a] ^ sigs[b]).count("1") <= 3}
+    assert pairs == brute
+
+
+def test_simhash_candidates_param_guards(spark):
+    from plc.dedup import simhash_candidates
+
+    df = _docs_with_dups(spark, n_base=4)
+    with pytest.raises(ValueError, match="must divide"):
+        simhash_candidates(df, "doc_id", bits=30, bands=4)
+    with pytest.raises(ValueError, match="would miss"):
+        simhash_candidates(df, "doc_id", bits=32, bands=4, max_hamming=5)
