@@ -330,20 +330,17 @@ def _fingerprint_stats(spark, sf):
 
 
 def _simhash_near_dup(spark, sf):
-    """Banded SimHash near-dup pairs over the tokens view: 56-bit per-bit
-    universal-hash signatures (Arrow kernel), 4×14-bit bands (pigeonhole-
-    exact for hamming ≤ 3), exact Hamming verify. The Hamming-sketch
-    complement of the MinHash-LSH Jaccard path."""
-    from plc.dedup import simhash_candidates
+    """Banded SimHash near-dup statistics over the tokens view: 56-bit
+    per-bit universal-hash signatures (Arrow kernel), 4×14-bit bands
+    (pigeonhole-exact for hamming ≤ 3), exact Hamming verify. Computed
+    over distinct contents with multiplicity weights — exact aggregates
+    without materializing the quadratic exact-dup pair list (the oracle
+    counts the naive way and must match bit-identically)."""
+    from plc.dedup import simhash_near_dup_stats
 
     tv = tokens_view(spark, sf)
-    out = simhash_candidates(tv, "doc_id", bits=56, bands=4, seed=42,
-                             max_hamming=3)
-    return out.agg(
-        F.count("*").alias("n_pairs"),
-        F.sum("hamming").alias("sum_hamming"),
-        F.sum(F.when(F.col("hamming") == 0, 1).otherwise(0))
-        .alias("n_exact"))
+    return simhash_near_dup_stats(tv, "doc_id", bits=56, bands=4, seed=42,
+                                  max_hamming=3)
 
 
 def _dedup_minhash_survivors(spark, sf):

@@ -854,6 +854,19 @@ def column_stats(batch: pa.RecordBatch) -> dict:
     for name, col in zip(batch.schema.names, batch.columns):
         st: dict = {"nulls": col.null_count}
         t = col.type
+        tk = _temporal_kind(t)
+        if tk is not None:
+            # temporal stats as raw storage integers (epoch/ordinal in the
+            # column's own unit, recorded under "unit") — JSON-safe and
+            # directly comparable to the bounds decode() computes for
+            # time-range chunk pruning
+            if pa.types.is_date32(t):
+                st["unit"] = "d"
+            elif pa.types.is_date64(t):
+                st["unit"] = "ms"
+            else:
+                st["unit"] = t.unit
+            col, t = col.cast(tk[2]), tk[2]
         if (pa.types.is_integer(t) or pa.types.is_floating(t)
                 or pa.types.is_string(t) or pa.types.is_large_string(t)):
             if len(col) - col.null_count > 0:

@@ -419,6 +419,50 @@ def simhash_candidates(df: DataFrame, key_col: str,
             .select("key_a", "key_b", "hamming"))
 
 
+def simhash_near_dup_stats(df: DataFrame, key_col: str,
+                           tokens_col: str = "tokens", *, bits: int = 56,
+                           bands: int = 4, seed: int = 42,
+                           max_hamming: int = 3) -> DataFrame:
+    """Exact (n_pairs, sum_hamming, n_exact) aggregates over ALL doc pairs
+    with Hamming ≤ ``max_hamming`` — without materializing them. SimHash
+    depends only on content, so identical-token docs collapse to one
+    representative with multiplicity m: a cross-content rep pair (A, B)
+    stands for m_A·m_B doc pairs and a content group contributes
+    C(m, 2) internal pairs at Hamming 0. The banded join then runs over
+    DISTINCT contents only — immune to the m²/2 exact-dup blowup that makes
+    the naive pair list quadratic on duplicate-heavy corpora. Aggregates
+    are bit-identical to counting :func:`simhash_candidates` output."""
+    h = F.md5(F.col(tokens_col).cast("string"))
+    grouped = (df.select(F.col(key_col).alias("_k"), h.alias("_h"),
+                         F.col(tokens_col).alias("_t"))
+               .groupBy("_h").agg(F.min("_k").alias("_k"),
+                                  F.count("*").alias("_m"),
+                                  F.any_value("_t").alias(tokens_col)))
+    reps = grouped.select(F.col("_k").alias("rk"), "_m", tokens_col)
+    pairs = simhash_candidates(reps, "rk", tokens_col, bits=bits,
+                               bands=bands, seed=seed,
+                               max_hamming=max_hamming)
+    ma = reps.select(F.col("rk").alias("key_a"), F.col("_m").alias("ma"))
+    mb = reps.select(F.col("rk").alias("key_b"), F.col("_m").alias("mb"))
+    cross = (pairs.join(ma, "key_a").join(mb, "key_b")
+             .agg(F.coalesce(F.sum(F.col("ma") * F.col("mb")), F.lit(0))
+                  .alias("n_pairs"),
+                  F.coalesce(F.sum(F.col("hamming") * F.col("ma")
+                                   * F.col("mb")), F.lit(0))
+                  .alias("sum_hamming"),
+                  F.coalesce(F.sum(F.when(F.col("hamming") == 0,
+                                          F.col("ma") * F.col("mb"))
+                                   .otherwise(0)), F.lit(0))
+                  .alias("n_exact")))
+    within = reps.agg(F.coalesce(
+        F.sum(F.col("_m") * (F.col("_m") - 1) / 2), F.lit(0))
+        .cast("bigint").alias("w"))
+    return (cross.crossJoin(within)
+            .select((F.col("n_pairs") + F.col("w")).alias("n_pairs"),
+                    F.col("sum_hamming"),
+                    (F.col("n_exact") + F.col("w")).alias("n_exact")))
+
+
 # --------------------------------------------------------------------------
 # end-to-end near-dup removal
 # --------------------------------------------------------------------------
@@ -427,18 +471,35 @@ def simhash_candidates(df: DataFrame, key_col: str,
 def dedup_minhash(df: DataFrame, key_col: str, tokens_col: str = "tokens",
                   num_hashes: int = 8, bands: int = 4, seed: int = 42,
                   shingle_k: int = 3, threshold: float = 0.7,
-                  max_iter: int = 20) -> DataFrame:
+                  max_iter: int = 20, collapse_exact: bool = True) -> DataFrame:
     """Remove near-duplicates: keep the min-key row of every duplicate
     cluster (connected component of verified pairs).
+
+    ``collapse_exact`` (default, output-identical): exact duplicates
+    collapse to their min-key representative BEFORE the LSH join — an
+    exact-dup group of m rows otherwise lands in the same band buckets and
+    contributes m²/2 candidate pairs, the one quadratic blowup banded LSH
+    doesn't protect against (a web-crawl corpus at 10^12 rows routinely
+    has million-row dup groups). Identical tokens have Jaccard 1 ≥ any
+    threshold, so group members always share their representative's
+    cluster and never survive — dropping them up front changes nothing in
+    the result set, only the join size.
 
     Components use iterative min-label propagation over the edge list —
     each round is two hash joins + an aggregate, converging in O(log n)
     rounds (diameter of dup clusters is tiny in practice). localCheckpoint
     per round truncates the plan lineage so the loop stays executable at
     any scale."""
-    pairs = candidate_pairs(df, key_col, tokens_col, num_hashes, bands,
+    base = df
+    if collapse_exact:
+        h = F.md5(F.col(tokens_col).cast("string"))
+        reps = (df.select(F.col(key_col).alias("_k"), h.alias("_h"))
+                .groupBy("_h").agg(F.min("_k").alias(key_col))
+                .select(key_col))
+        base = df.join(reps, key_col, "left_semi")
+    pairs = candidate_pairs(base, key_col, tokens_col, num_hashes, bands,
                             seed, shingle_k)
-    edges = jaccard_verify(pairs, df, key_col, tokens_col, shingle_k,
+    edges = jaccard_verify(pairs, base, key_col, tokens_col, shingle_k,
                            threshold).select("key_a", "key_b")
     edges = edges.unionByName(
         edges.select(F.col("key_b").alias("key_a"),
@@ -470,5 +531,5 @@ def dedup_minhash(df: DataFrame, key_col: str, tokens_col: str = "tokens",
             max_iter, changed)
     # drop every clustered row that is not its component's min key
     losers = labels.filter(F.col("k") != F.col("comp")).select("k")
-    return df.join(losers.withColumnRenamed("k", key_col), key_col,
-                   "left_anti")
+    return base.join(losers.withColumnRenamed("k", key_col), key_col,
+                     "left_anti")

@@ -699,6 +699,29 @@ def select_chunks(spark: SparkSession, dst: str, *,
             smax = F.get_json_object("stats", f"$.{col}.max")
             dt = {f.name: f.dataType.simpleString()
                   for f in schema.fields}[col]
+            if dt in ("timestamp", "timestamp_ntz", "date"):
+                # time-range pruning: temporal stats are storage integers
+                # in the chunk's own unit ($.col.unit); bounds convert to
+                # epoch-us with a ±26 h slack so ANY tz interpretation of a
+                # naive bound keeps pruning a superset (the exact row-level
+                # filter below settles the boundary chunks)
+                sunit = F.get_json_object("stats", f"$.{col}.unit")
+                fac = (F.when(sunit == "s", F.lit(1e6))
+                       .when(sunit == "ms", F.lit(1e3))
+                       .when(sunit == "us", F.lit(1.0))
+                       .when(sunit == "ns", F.lit(1e-3))
+                       .when(sunit == "d", F.lit(86400.0 * 1e6))
+                       .otherwise(F.lit(1.0)))
+                slack = 26 * 3600 * 1_000_000
+                if lo is not None:
+                    enc = enc.filter(
+                        smax.isNull() | (smax.cast("double") * fac >=
+                                         _temporal_us(lo) - slack))
+                if hi is not None:
+                    enc = enc.filter(
+                        smin.isNull() | (smin.cast("double") * fac <=
+                                         _temporal_us(hi) + slack))
+                continue
             cast_t = "string" if dt == "string" else "double"
             if lo is not None:
                 enc = enc.filter(smax.isNull() |
@@ -707,6 +730,25 @@ def select_chunks(spark: SparkSession, dst: str, *,
                 enc = enc.filter(smin.isNull() |
                                  (smin.cast(cast_t) <= F.lit(hi)))
     return enc, plan
+
+
+def _temporal_us(v) -> float:
+    """Naive epoch microseconds of a filter bound (str / datetime.datetime
+    / datetime.date) for chunk-stat comparison. Interpreted as wall-clock;
+    select_chunks pads ±26 h so tz ambiguity can never over-prune."""
+    import datetime as _dt
+
+    if isinstance(v, str):
+        v = _dt.datetime.fromisoformat(v)
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=_dt.timezone.utc)
+        return v.timestamp() * 1e6
+    if isinstance(v, _dt.date):
+        return _dt.datetime(v.year, v.month, v.day,
+                            tzinfo=_dt.timezone.utc).timestamp() * 1e6
+    raise TypeError(f"temporal filter bound must be str/datetime/date, "
+                    f"got {type(v).__name__}")
 
 
 def decode(spark: SparkSession, dst: str, *, doc_id_min: str | None = None,

@@ -147,3 +147,44 @@ def test_simhash_candidates_param_guards(spark):
         simhash_candidates(df, "doc_id", bits=30, bands=4)
     with pytest.raises(ValueError, match="would miss"):
         simhash_candidates(df, "doc_id", bits=32, bands=4, max_hamming=5)
+
+
+def test_collapse_exact_identical_output(spark):
+    """collapse_exact is a pure optimization: the survivor set is
+    IDENTICAL with it on or off, including on a corpus with a large
+    exact-dup group (the quadratic-blowup case it exists for)."""
+    rng = np.random.default_rng(11)
+    rows = [(f"doc-{i:04d}", rng.integers(0, 5000, 40).tolist())
+            for i in range(30)]
+    rows += [(f"copy-{j:04d}", list(rows[0][1])) for j in range(120)]
+    near = list(rows[1][1]); near[5] = (near[5] + 1) % 5000
+    rows.append(("near-0001", near))
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    kw = dict(num_hashes=8, bands=4, seed=42, shingle_k=3, threshold=0.7)
+    a = sorted(r["doc_id"] for r in
+               dedup_minhash(df, "doc_id", collapse_exact=True, **kw)
+               .collect())
+    b = sorted(r["doc_id"] for r in
+               dedup_minhash(df, "doc_id", collapse_exact=False, **kw)
+               .collect())
+    assert a == b
+    # exactly ONE of the 121-row exact group survives: its min key
+    group = {"doc-0000"} | {f"copy-{j:04d}" for j in range(120)}
+    assert sorted(group & set(a)) == ["copy-0000"]
+    assert "near-0001" not in a  # near-dup of doc-0001 is removed
+
+
+def test_simhash_stats_equal_naive_counting(spark):
+    """simhash_near_dup_stats (distinct-content + multiplicity weights)
+    must equal counting the materialized simhash_candidates pair list —
+    on a corpus with exact-dup groups, near-dups, and singletons."""
+    from plc.dedup import simhash_candidates, simhash_near_dup_stats
+
+    df = _docs_with_dups(spark)
+    naive = simhash_candidates(df, "doc_id", bits=56, bands=4,
+                               max_hamming=3).collect()
+    want = (len(naive), sum(r["hamming"] for r in naive),
+            sum(1 for r in naive if r["hamming"] == 0))
+    got = simhash_near_dup_stats(df, "doc_id", bits=56, bands=4,
+                                 max_hamming=3).collect()[0]
+    assert (got["n_pairs"], got["sum_hamming"], got["n_exact"]) == want

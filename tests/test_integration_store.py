@@ -131,3 +131,32 @@ def test_map_column_through_store(spark):
         assert j(df) == j(dec)
     finally:
         shutil.rmtree(dst, ignore_errors=True)
+
+
+def test_time_range_decode_prunes_chunks(spark):
+    """Round 3: temporal chunk stats → time-range decode reads only the
+    chunks whose ts range intersects the window (±26 h tz slack), and the
+    row-level filter makes the result exact."""
+    import datetime
+    import tempfile
+
+    from plc.pipeline import select_chunks
+
+    ev = (spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+          .withColumn("doc_id", F.format_string("ev-%012d", "event_id")))
+    mn = ev.agg(F.min("ts")).collect()[0][0]
+    dst = tempfile.mkdtemp(prefix="plc_tsrange_")
+    try:
+        encode(spark, ev, dst,
+               PipelineConfig(num_partitions=8, straggler_parts=0,
+                              max_chunk_values=1000), mode="overwrite")
+        lo = (mn + datetime.timedelta(days=10)).isoformat(sep=" ")
+        hi = (mn + datetime.timedelta(days=14)).isoformat(sep=" ")
+        n_all = select_chunks(spark, dst)[0].count()
+        n_win = select_chunks(spark, dst, filters={"ts": (lo, hi)})[0].count()
+        assert 0 < n_win < n_all, (n_win, n_all)
+        dec_n = decode(spark, dst, filters={"ts": (lo, hi)}).count()
+        src_n = ev.filter((F.col("ts") >= lo) & (F.col("ts") <= hi)).count()
+        assert dec_n == src_n
+    finally:
+        shutil.rmtree(dst, ignore_errors=True)
