@@ -22,6 +22,12 @@ def ensure_shipped(spark) -> None:
     if app_id in _shipped:
         return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    if not os.path.isdir(pkg_dir):
+        # plc was itself imported from a --py-files zip (spark-submit):
+        # the archive is already on every executor's python path; trying
+        # to re-zip from inside the archive would raise NotADirectoryError
+        _shipped.add(app_id)
+        return
     zpath = os.path.join(tempfile.gettempdir(), f"plc-pyfiles-{os.getpid()}.zip")
     if not os.path.exists(zpath):
         with zipfile.ZipFile(zpath, "w") as z:
