@@ -251,6 +251,14 @@ def main() -> None:
                 waited += 10
             return waited
 
+        def _noisy(runs) -> bool:
+            # contamination evidence: CPU samples of one arm spreading
+            # >1.5x means tenants spun our JVM in some samples. This (not
+            # the pass threshold) keys the extra pairs — stopping on the
+            # success criterion would bias the statistic upward.
+            cs = [r["cpu_sec"] for r in runs]
+            return max(cs) > 1.5 * min(cs)
+
         lo_runs, hi_runs = [], []
         for i in range(5):
             _wait_quiet()
@@ -259,10 +267,8 @@ def main() -> None:
             _wait_quiet()
             hi_runs.append(_bench_encode("local[4]", src_path, n_parts,
                                          raw_bytes))
-            cpu_eff = (min(r["cpu_sec"] for r in lo_runs)
-                       / min(r["cpu_sec"] for r in hi_runs))
-            if i >= 2 and cpu_eff >= 0.8:
-                break  # three clean-enough pairs are sufficient evidence
+            if i >= 2 and not (_noisy(lo_runs) or _noisy(hi_runs)):
+                break  # three mutually-consistent pairs; more adds nothing
         lo = min(lo_runs, key=lambda r: r["data_path_sec"])
         hi = min(hi_runs, key=lambda r: r["data_path_sec"])
         cpu_lo = min(r["cpu_sec"] for r in lo_runs)
@@ -271,14 +277,15 @@ def main() -> None:
         eff_cpu = cpu_lo / cpu_hi
         result["scaling"] = {
             "n_threads": 1, "n4_threads": 4,
-            "protocol": ("interleaved load-gated pairs (3-5, best-of) at "
-                         "local[1] vs local[4]; efficiency_cpu = "
-                         "cpu(N)/cpu(4N) over process-tree CPU (work "
-                         "inflation; robust to tenant wall noise unless "
-                         "every sample of an arm is contended), "
-                         "efficiency_wall = (wall_N/wall_4N)/4; headline "
-                         "efficiency = the better of the two stated "
-                         "measures"),
+            "protocol": ("interleaved load-gated pairs at local[1] vs "
+                         "local[4]; 3 pairs, extended to 5 only on "
+                         "intra-arm CPU spread >1.5x (contamination "
+                         "evidence, never the pass threshold); headline "
+                         "efficiency = efficiency_cpu = cpu(N)/cpu(4N) "
+                         "over process-tree CPU (work inflation; robust "
+                         "to tenant wall noise unless every sample of an "
+                         "arm is contended); efficiency_wall = "
+                         "(wall_N/wall_4N)/4 reported alongside"),
             "n_gbps": lo["gbps"], "n4_gbps": hi["gbps"],
             "n_sec": lo["data_path_sec"], "n4_sec": hi["data_path_sec"],
             "n_cpu_sec": cpu_lo, "n4_cpu_sec": cpu_hi,
@@ -288,7 +295,7 @@ def main() -> None:
             "n4_cpu_samples": [r["cpu_sec"] for r in hi_runs],
             "efficiency_wall": round(eff_wall, 3),
             "efficiency_cpu": round(eff_cpu, 3),
-            "efficiency": round(max(eff_cpu, eff_wall), 3),
+            "efficiency": round(eff_cpu, 3),
         }
         # codec-layer scaling (no Spark/IPC — the work that multiplies with
         # executors; far less sensitive to this shared box's tenant noise,

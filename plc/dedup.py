@@ -318,6 +318,11 @@ def simhash_signature(tokens_col: str | Column, bits: int = 32,
     into all-pairs). Pure JVM expressions; fine for narrow widths or
     expression contexts — the Arrow kernel in :func:`simhash_sigs` computes
     the identical signature ~50× faster for wide/bulk use."""
+    if not 0 < bits <= 62:
+        raise ValueError(f"bits must be in 1..62 (got {bits}): bit 62 is "
+                         f"the widest 1<<b that stays a positive bigint "
+                         f"literal on the JVM and a non-wrapping int64 in "
+                         f"numpy")
     t = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
     dt = F.array_distinct(t)
     params = hash_params(bits, seed)
@@ -338,14 +343,24 @@ def _simhash_sig_arrays(batch, tokens_col: str, bits: int,
                         seed: int) -> np.ndarray:
     """Vectorized SimHash signatures for a whole Arrow batch — the same
     arithmetic as :func:`simhash_signature` (numpy/JVM/SQL bit-identical;
-    token ids assumed non-negative < 2^31 like the shingle kernels)."""
+    token ids must be non-negative < 2^31 like the shingle kernels —
+    validated below)."""
     import pyarrow as pa
+
+    if not 0 < bits <= 62:
+        raise ValueError(f"bits must be in 1..62 (got {bits})")
 
     toks = batch.column(tokens_col).cast(pa.large_list(pa.int32()))
     offsets = np.frombuffer(toks.buffers()[1], np.int64,
                             count=len(toks) + 1, offset=toks.offset * 8)
     lens = np.diff(offsets)
     flat = toks.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+    if flat.size and flat.min() < 0:
+        # the row·2^31+token packing below would credit a negative token
+        # to the PREVIOUS row, silently corrupting both rows' signatures
+        raise ValueError("simhash over token ids requires non-negative "
+                         "tokens < 2^31 (same contract as the shingle "
+                         "kernels); found a negative token id")
     row_of = np.repeat(np.arange(lens.size), lens)
     # distinct (row, token) pairs in one sort: key = row·2^31 + token
     u = np.unique(row_of * (1 << 31) + flat)
@@ -365,6 +380,8 @@ def simhash_sigs(df: DataFrame, key_col: str, tokens_col: str = "tokens",
     """(key, sig) via one Arrow-vectorized kernel — the bulk path for
     :func:`simhash_candidates` (the pure-expression signature evaluates
     ``bits`` aggregates per row, which dominates wall at table scale)."""
+    if not 0 < bits <= 62:  # driver-side: fail before any job launches
+        raise ValueError(f"bits must be in 1..62 (got {bits})")
     from plc.util import ensure_shipped
 
     ensure_shipped(df.sparkSession)
@@ -490,13 +507,7 @@ def dedup_minhash(df: DataFrame, key_col: str, tokens_col: str = "tokens",
     rounds (diameter of dup clusters is tiny in practice). localCheckpoint
     per round truncates the plan lineage so the loop stays executable at
     any scale."""
-    base = df
-    if collapse_exact:
-        h = F.md5(F.col(tokens_col).cast("string"))
-        reps = (df.select(F.col(key_col).alias("_k"), h.alias("_h"))
-                .groupBy("_h").agg(F.min("_k").alias(key_col))
-                .select(key_col))
-        base = df.join(reps, key_col, "left_semi")
+    base = exact_dedup(df, tokens_col, key_col) if collapse_exact else df
     pairs = candidate_pairs(base, key_col, tokens_col, num_hashes, bands,
                             seed, shingle_k)
     edges = jaccard_verify(pairs, base, key_col, tokens_col, shingle_k,

@@ -66,9 +66,11 @@ def decode_image_real(payloads: pa.Array, n_features: int = 8,
         except Exception:
             continue  # undecodable media → zero feature row
         px = np.asarray(img, dtype=np.uint8).ravel()
-        hist = np.bincount(px >> np.uint8(8 - (n_features - 1).bit_length()),
-                           minlength=n_features)[:n_features]
-        out[i] = hist / max(px.size, 1)
+        # equal-width intensity bins for ANY n_features (a power-of-two
+        # shift would truncate the brightest bins when n is not 2^k)
+        bins = np.minimum(px.astype(np.int32) * n_features // 256,
+                          n_features - 1)
+        out[i] = np.bincount(bins, minlength=n_features) / max(px.size, 1)
     return out
 
 

@@ -503,6 +503,20 @@ def encode_direct(spark: SparkSession, src_path: str, dst: str,
                                  .otherwise(F.size("tokens")).cast("int"))
         else:
             pdf = pdf.withColumn("_w", F.lit(1))  # generic table unit weight
+    # hive-partitioned layouts materialize partition columns OUTSIDE the
+    # files; the direct scanner reads physical files only, so it would
+    # silently pack chunks missing those columns and the store would be
+    # undecodable — refuse BEFORE _prepare_state writes any plan/manifest
+    # state to dst (same invariant as the empty-source check above)
+    table_cols = set(pdf.columns) - {"_w"}
+    file_cols = set(pq.ParquetFile(files[0]).schema_arrow.names)
+    missing = table_cols - file_cols - {"n_tok"}  # n_tok derives from tokens
+    if missing:
+        raise ValueError(
+            f"columns {sorted(missing)} exist in the table schema but not "
+            f"in the parquet files (hive-partitioned layout?); "
+            f"encode_direct reads physical files only — use encode() for "
+            f"partitioned sources")
     plan, committed = _prepare_state(spark, pdf, dst, cfg, resume, mode)
     if plan.get("straggler_parts", 0) > 0:
         # a prior encode() run used salted straggler parts; the direct
@@ -536,20 +550,6 @@ def encode_direct(spark: SparkSession, src_path: str, dst: str,
         lo_part = int(np.searchsorted(barr, mn, side="right"))
         hi_part = int(np.searchsorted(barr, mx, side="right"))
         return all(p in committed for p in range(lo_part, hi_part + 1))
-
-    # hive-partitioned layouts materialize partition columns OUTSIDE the
-    # files; the direct scanner reads physical files only, so it would
-    # silently pack chunks missing those columns and the store would be
-    # undecodable — refuse up front
-    plan_cols = {f["name"] for f in plan["schema"]["fields"]}
-    file_cols = set(pq.ParquetFile(files[0]).schema_arrow.names)
-    missing = plan_cols - file_cols - {"n_tok"}  # n_tok derives from tokens
-    if missing:
-        raise ValueError(
-            f"columns {sorted(missing)} exist in the table schema but not "
-            f"in the parquet files (hive-partitioned layout?); "
-            f"encode_direct reads physical files only — use encode() for "
-            f"partitioned sources")
 
     # row-group enumeration: footer metadata reads fan out on a thread
     # pool (pyarrow releases the GIL on I/O) — serial per-file opens put

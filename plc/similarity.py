@@ -201,6 +201,10 @@ def ivf_topk(indexed: DataFrame, queries: DataFrame,
 
     spark = indexed.sparkSession
     qrows = queries.select(qid_col, vec_col).collect()
+    if not qrows:  # empty query side → empty result, not an AxisError
+        qt = dict(queries.dtypes)[qid_col]
+        return spark.createDataFrame(
+            [], f"{qid_col} {qt}, {id_col} bigint, cos double, rank int")
     Q = np.array([r[1] for r in qrows], dtype=np.float64)
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
     probes = np.argsort(-(Qn @ centroids.astype(np.float64).T),
@@ -261,6 +265,10 @@ def ivf_topk_stored(spark, dst: str, queries: DataFrame,
     from plc.pipeline import decode
 
     qrows = queries.select(qid_col, vec_col).collect()
+    if not qrows:  # empty query side → empty result, not an AxisError
+        qt = dict(queries.dtypes)[qid_col]
+        return spark.createDataFrame(
+            [], f"{qid_col} {qt}, {id_col} bigint, cos double, rank int")
     Q = np.array([r[1] for r in qrows], dtype=np.float64)
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
     probes = np.argsort(-(Qn @ centroids.astype(np.float64).T),

@@ -118,16 +118,22 @@ def stateful_dedup_stream(stream_df: DataFrame, *, n_buckets: int = 64,
     Duplicates are NEVER missed (a Bloom filter has no false negatives);
     the trade is a false-positive rate that rises with inserts: at
     n = m/k inserts per bucket (~1.2M at defaults) FPR ≈ (1-e^-1)^7 ≈ 0.8%,
-    i.e. ~0.8% of distinct docs wrongly dropped — size ``bloom_bits``
-    and ``n_buckets`` to the expected distinct count, or use Spark's
-    ``dropDuplicatesWithinWatermark`` when a bounded dedup horizon is
-    acceptable and exactness is required. Buckets shard state across
+    i.e. ~0.8% of distinct docs wrongly dropped. A bucket that exceeds
+    that design load RAISES rather than silently saturating — size
+    ``bloom_bits`` and ``n_buckets`` to the expected distinct count, or
+    use Spark's ``dropDuplicatesWithinWatermark`` when a bounded dedup
+    horizon is acceptable and exactness is required. Buckets shard state across
     executors like any shuffle key; a real deployment backs this with the
     RocksDB state store (the binary state column maps directly)."""
     import numpy as np
 
     assert bloom_bits % 8 == 0
     m_bytes = bloom_bits // 8
+    # design load: at n = m/k inserts FPR ≈ (1-e^-1)^k ≈ 0.8%. Beyond it a
+    # saturating filter would silently drop ever more DISTINCT docs as
+    # "duplicates" — fail loudly instead (resize bloom_bits/n_buckets, or
+    # use dropDuplicatesWithinWatermark for unbounded streams)
+    capacity = bloom_bits // _BLOOM_K
     content = [c for c in stream_df.columns if c in ("tokens", "text")]
     d = stream_df.select(
         *out_cols,
@@ -160,6 +166,14 @@ def stateful_dedup_stream(stream_df: DataFrame, *, n_buckets: int = 64,
                 np.bitwise_or.at(bloom, byte_i[:, keep].ravel(),
                                  mask[:, keep].ravel())
                 n_ins += int(keep.sum())
+                if n_ins > capacity:
+                    raise RuntimeError(
+                        f"stateful_dedup_stream: bucket {key[0]} exceeded "
+                        f"its Bloom design load ({n_ins} > {capacity} "
+                        f"inserts for bloom_bits={bloom_bits}); a "
+                        f"saturated filter silently drops distinct docs — "
+                        f"raise bloom_bits or n_buckets, or use "
+                        f"dropDuplicatesWithinWatermark")
                 yield pdf[keep].drop(columns=drop_cols)
         state.update((bloom.tobytes(), n_ins))
 

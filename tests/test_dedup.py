@@ -188,3 +188,21 @@ def test_simhash_stats_equal_naive_counting(spark):
     got = simhash_near_dup_stats(df, "doc_id", bits=56, bands=4,
                                  max_hamming=3).collect()[0]
     assert (got["n_pairs"], got["sum_hamming"], got["n_exact"]) == want
+
+
+def test_simhash_input_guards(spark):
+    """Review fixes: bits > 62 rejected on both signature paths; negative
+    token ids rejected by the Arrow kernel (the row-packing would credit
+    them to the previous row)."""
+    from plc.dedup import simhash_sigs
+
+    df = spark.createDataFrame([("a", [1, 2, 3])],
+                               "doc_id string, tokens array<int>")
+    with pytest.raises(ValueError, match="1..62"):
+        df.select(simhash_signature("tokens", bits=64))
+    with pytest.raises(ValueError, match="1..62"):
+        simhash_sigs(df, "doc_id", bits=64)
+    bad = spark.createDataFrame([("a", [1, -5, 3])],
+                                "doc_id string, tokens array<int>")
+    with pytest.raises(Exception, match="non-negative"):
+        simhash_sigs(bad, "doc_id", bits=32).collect()

@@ -148,3 +148,18 @@ def test_decode_image_real_with_pil(spark):
         "media_id bigint, payload binary")
     out = extract_features(df, kernel=decode_image_real).collect()
     assert len(out) == 3 and all(len(r["features"]) == 8 for r in out)
+
+
+def test_fake_kernel_any_feature_count():
+    """Review fix companion: histogram binning must cover the full byte
+    range for non-power-of-two feature counts (rows sum to ~1)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from plc.multimodal import fake_feature_kernel
+
+    blobs = pa.array([bytes(range(256)), b"\xff" * 64], pa.binary())
+    for n in (6, 8, 10):
+        feats = fake_feature_kernel(blobs, n_features=n)
+        assert feats.shape == (2, n)
+        assert np.allclose(feats.sum(axis=1), 1.0)

@@ -159,3 +159,17 @@ def test_ivf_store_prunes_and_recalls(spark, corpus):
         assert hits / total >= 0.8, f"stored-IVF recall {hits}/{total}"
     finally:
         shutil.rmtree(dst, ignore_errors=True)
+
+
+def test_ivf_empty_queries_return_empty(spark, corpus):
+    """Review fix: an empty query side returns an empty, correctly-typed
+    result instead of a numpy AxisError / None.join crash."""
+    from plc.similarity import ivf_assign, ivf_topk, ivf_train
+
+    cent = ivf_train(corpus, dim=DIM, n_centroids=4, iters=2)
+    indexed = ivf_assign(corpus, cent)
+    q = corpus.filter("vec_id < 0").select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = ivf_topk(indexed, q, cent, k=3)
+    assert out.count() == 0
+    assert set(out.columns) == {"query_id", "vec_id", "cos", "rank"}
