@@ -245,6 +245,29 @@ def _topk_orders(spark, sf):
 # --------------------------------------------------------------------------
 
 
+def _format_read_agg(spark, sf):
+    """P8: encode the tokens view into the engine's store, then query it
+    back through ``spark.read.format("plc")`` — Catalyst filter pushdown
+    prunes chunks via the stored stats, column pruning skips undecoded
+    frames, and the aggregate must match DuckDB computing the same thing
+    from the raw documents table (the storage layer is oracled
+    end-to-end)."""
+    from plc.datasource import register
+    from plc.pipeline import PipelineConfig, encode
+
+    src = tokens_view(spark, sf)
+    dst = tempfile.mkdtemp(prefix="plc_qfmt_")
+    encode(spark, src, dst,
+           PipelineConfig(num_partitions=4, straggler_parts=0,
+                          max_chunk_values=20_000), mode="overwrite")
+    register(spark)
+    df = spark.read.format("plc").load(dst)
+    return (df.where(F.col("n_tok") > 10)
+            .groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tok").alias("total_tokens")))
+
+
 def _dedup_exact_stats(spark, sf):
     """Exact dedup statistics per source (hash-groupBy, one shuffle)."""
     from plc.dedup import exact_dedup_stats
@@ -706,6 +729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": _embedding_norms,
         "events_tumbling_count": _events_tumbling_count,
         "topk_orders": _topk_orders,
+        "format_read_agg": _format_read_agg,
         "dedup_exact_stats": _dedup_exact_stats,
         "dedup_minhash_pairs": _dedup_minhash_pairs,
         "simhash_near_dup": _simhash_near_dup,
@@ -820,6 +844,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, round(o_totalprice, 2) AS price,
                    o_orderpriority
             FROM orders ORDER BY price DESC, o_orderkey LIMIT 25
+        """,
+        "format_read_agg": f"""
+            WITH toks AS (SELECT source,
+                                 len({_TOKENS_SQL}) AS n_tok
+                          FROM documents)
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS total_tokens
+            FROM toks WHERE n_tok > 10 GROUP BY source
         """,
         "dedup_exact_stats": """
             SELECT source, count(*) AS n_rows,

@@ -25,4 +25,8 @@ def __getattr__(name):  # lazy: keep kernel imports pyspark-free
         from plc import streaming
 
         return getattr(streaming, name)
+    if name == "register":  # spark.read.format("plc") data source
+        from plc.datasource import register
+
+        return register
     raise AttributeError(name)

@@ -1,0 +1,227 @@
+"""`spark.read.format("plc")` — a Spark Python DataSource over the engine's
+chunk store (pyspark.sql.datasource, Spark 4+).
+
+The DataFrame/SQL-native read path: after ``plc.register(spark)`` any query
+can scan an encoded store like a table —
+
+    spark.read.format("plc").load(dst).where("n_tok > 100").select("doc_id")
+
+and Catalyst drives the storage layer exactly like a built-in format:
+
+- **column pruning**: the reader receives Spark's pruned schema; chunk
+  frames for unrequested columns are skipped by length, never decoded;
+- **filter pushdown**: :meth:`PLCReader.pushFilters` translates range/
+  equality predicates into per-chunk stat pruning (same semantics as
+  :func:`plc.pipeline.select_chunks` — doc_id bounds, typed weight-column
+  stats, stats-JSON min/max incl. temporal columns with the ±26 h tz
+  slack). Every filter is also returned as unsupported, so Spark
+  re-applies the exact predicate on the decoded rows — pruning is a
+  conservative superset and can never change results;
+- **committed-parts isolation**: uncommitted part directories (a crashed
+  encode) are invisible, like :func:`plc.pipeline.decode`;
+- **partitioning**: one Spark input partition per encoded parquet file
+  (chunk-pruned row selections travel in the partition descriptor), so a
+  1000-executor cluster fans out across part files with zero driver state
+  beyond the descriptor list.
+
+Planning happens driver-side with pyarrow only (no Spark jobs): the store's
+own metadata columns are the "footer". Reads yield Arrow RecordBatches —
+the whole path is vectorized end to end.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pyarrow.parquet as pq
+
+from pyspark.sql.datasource import (DataSource, DataSourceReader,
+                                    EqualTo, GreaterThan, GreaterThanOrEqual,
+                                    InputPartition, LessThan,
+                                    LessThanOrEqual)
+from pyspark.sql.types import StructType
+
+_META_COLS = ["chunk_idx", "min_doc_id", "max_doc_id", "min_w", "max_w",
+              "stats"]
+_UNIT_TO_US = {"s": 1e6, "ms": 1e3, "us": 1.0, "ns": 1e-3,
+               "d": 86400.0 * 1e6}
+_TZ_SLACK_US = 26 * 3600 * 1_000_000
+
+
+def _load_plan(path: str) -> dict:
+    with open(os.path.join(path, "_manifest", "plan.json")) as f:
+        return json.load(f)
+
+
+def _committed_parts(path: str) -> set[int]:
+    files = glob.glob(os.path.join(path, "_manifest", "parts", "*.parquet"))
+    out: set[int] = set()
+    for f in files:
+        out.update(pq.read_table(f, columns=["part_id"])
+                   .column("part_id").to_pylist())
+    return out
+
+
+class PLCDataSource(DataSource):
+    """Readable data source over a plc encode destination directory."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "plc"
+
+    def _path(self) -> str:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("plc data source requires a path: "
+                             "spark.read.format('plc').load(dst)")
+        return path
+
+    def schema(self) -> StructType:
+        return StructType.fromJson(_load_plan(self._path())["schema"])
+
+    def reader(self, schema: StructType) -> "PLCReader":
+        return PLCReader(self._path(), schema)
+
+
+class PLCChunkPartition(InputPartition):
+    def __init__(self, file: str, rows: list[int] | None):
+        self.file = file
+        self.rows = rows  # chunk row indices surviving pruning; None = all
+
+
+class PLCReader(DataSourceReader):
+    def __init__(self, path: str, schema: StructType):
+        self.path = path
+        self.schema = schema  # Spark's PRUNED projection
+        self.plan = _load_plan(path)
+        full = StructType.fromJson(self.plan["schema"])
+        self.col_types = {f.name: f.dataType.simpleString() for f in full}
+        self.wcol = self.plan.get("weight_col", "n_tok")
+        self.bounds: dict[str, list] = {}  # col -> [lo, hi] (inclusive)
+
+    # -- filter pushdown ---------------------------------------------------
+
+    def _tighten(self, col: str, lo=None, hi=None) -> None:
+        b = self.bounds.setdefault(col, [None, None])
+        if lo is not None and (b[0] is None or lo > b[0]):
+            b[0] = lo
+        if hi is not None and (b[1] is None or hi < b[1]):
+            b[1] = hi
+
+    def pushFilters(self, filters):
+        for f in filters:
+            if isinstance(f, (GreaterThan, GreaterThanOrEqual, LessThan,
+                              LessThanOrEqual, EqualTo)) \
+                    and len(f.attribute) == 1 \
+                    and f.attribute[0] in self.col_types:
+                col, v = f.attribute[0], f.value
+                # strict bounds relax to inclusive — pruning stays a
+                # superset; Spark re-applies the exact predicate anyway
+                if isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                    self._tighten(col, lo=v)
+                elif isinstance(f, (LessThan, LessThanOrEqual)):
+                    self._tighten(col, hi=v)
+                else:
+                    self._tighten(col, lo=v, hi=v)
+            yield f  # everything is "unsupported": Spark re-filters exactly
+
+    # -- planning ----------------------------------------------------------
+
+    def _chunk_survives(self, meta: dict) -> bool:
+        for col, (lo, hi) in self.bounds.items():
+            if col == "doc_id":
+                if lo is not None and meta["max_doc_id"] is not None \
+                        and meta["max_doc_id"] < lo:
+                    return False
+                if hi is not None and meta["min_doc_id"] is not None \
+                        and meta["min_doc_id"] > hi:
+                    return False
+                continue
+            if col == self.wcol and self.wcol != "_w":
+                if lo is not None and meta["max_w"] is not None \
+                        and meta["max_w"] < lo:
+                    return False
+                if hi is not None and meta["min_w"] is not None \
+                        and meta["min_w"] > hi:
+                    return False
+                continue
+            st = json.loads(meta["stats"]).get(col, {})
+            smin, smax = st.get("min"), st.get("max")
+            if smin is None and smax is None:
+                continue  # no stat recorded → keep
+            dt = self.col_types.get(col, "")
+            if dt in ("timestamp", "timestamp_ntz", "date"):
+                from plc.pipeline import _temporal_us
+
+                fac = _UNIT_TO_US.get(st.get("unit"), 1.0)
+                if lo is not None and smax is not None \
+                        and smax * fac < _temporal_us(lo) - _TZ_SLACK_US:
+                    return False
+                if hi is not None and smin is not None \
+                        and smin * fac > _temporal_us(hi) + _TZ_SLACK_US:
+                    return False
+                continue
+            if lo is not None and smax is not None and smax < lo:
+                return False
+            if hi is not None and smin is not None and smin > hi:
+                return False
+        return True
+
+    def partitions(self):
+        committed = _committed_parts(self.path)
+        data = os.path.join(self.path, "data")
+        parts = []
+        for pdir in sorted(glob.glob(os.path.join(data, "part_id=*"))):
+            pid = int(os.path.basename(pdir).split("=")[1])
+            if pid not in committed:
+                continue  # crashed/uncommitted part: invisible
+            for f in sorted(glob.glob(os.path.join(pdir, "*.parquet"))):
+                meta = pq.read_table(f, columns=_META_COLS)
+                keep = [i for i in range(meta.num_rows)
+                        if self._chunk_survives(
+                            {c: meta.column(c)[i].as_py()
+                             for c in _META_COLS})]
+                if not keep:
+                    continue
+                rows = None if len(keep) == meta.num_rows else keep
+                parts.append(PLCChunkPartition(f, rows))
+        return parts
+
+    # -- execution (one task per encoded file) ------------------------------
+
+    def read(self, partition: PLCChunkPartition):
+        import pyarrow as pa
+
+        from plc.chunk import unpack_chunk
+
+        if partition is None:  # Spark probes an empty partition list once
+            return
+        names = [f.name for f in self.schema.fields]
+        if not names:
+            # zero-column projection (SELECT count(*)): row counts come
+            # from the chunk metadata, no frame is ever decoded
+            tbl = pq.read_table(partition.file, columns=["n_rows"])
+            rows = tbl.column("n_rows").to_pylist()
+            idxs = (range(len(rows)) if partition.rows is None
+                    else partition.rows)
+            for i in idxs:
+                yield pa.RecordBatch.from_struct_array(
+                    pa.array([{}] * rows[i], pa.struct([])))
+            return
+        tbl = pq.read_table(partition.file, columns=["payload"])
+        payloads = tbl.column("payload")
+        idxs = (range(len(payloads)) if partition.rows is None
+                else partition.rows)
+        for i in idxs:
+            rb = unpack_chunk(payloads[i].as_buffer(), columns=names)
+            yield rb.select(names)
+
+
+def register(spark) -> None:
+    """Register the ``plc`` format on this session (idempotent). Also
+    enables Python data source filter pushdown — a reader that implements
+    ``pushFilters`` hard-fails under Spark's default-off setting."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(PLCDataSource)

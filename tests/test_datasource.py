@@ -1,0 +1,108 @@
+"""spark.read.format("plc") — the Python DataSource over the chunk store
+(plc/datasource.py): schema, full-table equality, Catalyst column pruning,
+filter pushdown → chunk pruning, zero-column count(*), typed columns."""
+
+import glob
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from plc.pipeline import PipelineConfig, encode
+
+
+@pytest.fixture(scope="module")
+def store(spark):
+    import __spark_entry__ as E
+
+    src = E.tokens_view(spark, "/root/testdata/sf0.01")
+    dst = tempfile.mkdtemp(prefix="plc_ds_store_")
+    encode(spark, src, dst,
+           PipelineConfig(num_partitions=6, straggler_parts=0,
+                          max_chunk_values=20_000), mode="overwrite")
+    from plc.datasource import register
+
+    register(spark)
+    yield src, dst
+    shutil.rmtree(dst, ignore_errors=True)
+
+
+def test_format_roundtrip_and_projection(spark, store):
+    src, dst = store
+    df = spark.read.format("plc").load(dst)
+    assert df.schema == src.schema or set(df.columns) == set(src.columns)
+    assert df.count() == src.count()
+
+    def sig(d):
+        return d.agg(F.sum(F.xxhash64("doc_id", "n_tok", "source",
+                                      F.col("tokens").cast("string"))
+                           .cast("decimal(38,0)")).alias("h"),
+                     F.count("*").alias("n")).collect()[0]
+
+    assert sig(df) == sig(src)
+
+
+def test_format_filter_pushdown_prunes(spark, store):
+    src, dst = store
+    from plc.datasource import PLCReader, _load_plan
+    from pyspark.sql.datasource import GreaterThan
+    from pyspark.sql.types import StructType
+
+    df = spark.read.format("plc").load(dst)
+    tau = 30
+    got = df.where(F.col("n_tok") > tau).count()
+    want = src.where(F.col("n_tok") > tau).count()
+    assert got == want
+    # planner-level: the pushed bound must drop at least one chunk
+    schema = StructType.fromJson(_load_plan(dst)["schema"])
+    r_all = PLCReader(dst, schema)
+    n_all = len(r_all.partitions())
+    r_f = PLCReader(dst, schema)
+    list(r_f.pushFilters([GreaterThan(("n_tok",), 98)]))
+    n_pruned = len(r_f.partitions())
+    assert n_pruned < n_all, (n_pruned, n_all)
+
+
+def test_format_count_star_is_metadata_only(spark, store):
+    src, dst = store
+    df = spark.read.format("plc").load(dst)
+    assert df.selectExpr("count(*)").collect()[0][0] == src.count()
+
+
+def test_format_reads_timestamps(spark):
+    ev = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+          .withColumn("doc_id", F.format_string("ev-%012d", "event_id")))
+    dst = tempfile.mkdtemp(prefix="plc_ds_ev_")
+    try:
+        encode(spark, ev, dst, PipelineConfig(num_partitions=2,
+                                              straggler_parts=0),
+               mode="overwrite")
+        from plc.datasource import register
+
+        register(spark)
+        df = spark.read.format("plc").load(dst)
+        assert dict(df.dtypes)["ts"] == dict(ev.dtypes)["ts"]
+        a = df.agg(F.min("ts"), F.max("ts"), F.count("*")).collect()
+        b = ev.agg(F.min("ts"), F.max("ts"), F.count("*")).collect()
+        assert a == b
+    finally:
+        shutil.rmtree(dst, ignore_errors=True)
+
+
+def test_format_ignores_uncommitted_parts(spark, store):
+    src, dst = store
+    # simulate a crashed encode: a data part dir with no manifest entry
+    import pyarrow.parquet as pq
+
+    part_files = glob.glob(os.path.join(dst, "data", "part_id=0",
+                                        "*.parquet"))
+    fake = os.path.join(dst, "data", "part_id=99")
+    os.makedirs(fake, exist_ok=True)
+    try:
+        shutil.copy(part_files[0], os.path.join(fake, "stale.parquet"))
+        df = spark.read.format("plc").load(dst)
+        assert df.count() == src.count()  # stale part invisible
+    finally:
+        shutil.rmtree(fake, ignore_errors=True)
