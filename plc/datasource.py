@@ -37,10 +37,13 @@ import os
 
 import pyarrow.parquet as pq
 
-from pyspark.sql.datasource import (DataSource, DataSourceReader,
-                                    EqualTo, GreaterThan, GreaterThanOrEqual,
-                                    InputPartition, LessThan,
-                                    LessThanOrEqual)
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (DataSource, DataSourceArrowWriter,
+                                    DataSourceReader, EqualTo, GreaterThan,
+                                    GreaterThanOrEqual, InputPartition,
+                                    LessThan, LessThanOrEqual,
+                                    WriterCommitMessage)
 from pyspark.sql.types import StructType
 
 _META_COLS = ["chunk_idx", "min_doc_id", "max_doc_id", "min_w", "max_w",
@@ -83,6 +86,10 @@ class PLCDataSource(DataSource):
 
     def reader(self, schema: StructType) -> "PLCReader":
         return PLCReader(self._path(), schema)
+
+    def writer(self, schema: StructType, overwrite: bool) -> "PLCWriter":
+        return PLCWriter(self._path(), schema, overwrite,
+                         self.options.get("max_chunk_values"))
 
 
 class PLCChunkPartition(InputPartition):
@@ -217,6 +224,183 @@ class PLCReader(DataSourceReader):
         for i in idxs:
             rb = unpack_chunk(payloads[i].as_buffer(), columns=names)
             yield rb.select(names)
+
+
+@dataclass
+class PLCCommit(WriterCommitMessage):
+    part_id: int
+    file: str | None
+    n_chunks: int
+    n_rows: int
+    n_tokens: int
+    raw_bytes: int
+    enc_bytes: int
+    min_doc_id: str | None
+    max_doc_id: str | None
+
+
+class PLCWriter(DataSourceArrowWriter):
+    """``df.write.format("plc").mode("overwrite").save(dst)`` — the fully
+    declarative encode: each Spark task packs its partition into codec
+    chunks (one logical part per task partition) and the driver commits
+    plan + lineage manifest from the task messages, so the layout users
+    choose upstream IS the storage layout::
+
+        (df.repartitionByRange(64, "doc_id").sortWithinPartitions("doc_id")
+           .write.format("plc").mode("overwrite").save(dst))
+
+    Differences from :func:`plc.pipeline.encode`: no stats pre-pass, no
+    skew salting, no resume (task retries are handled by the commit
+    protocol instead: only files named in SUCCESSFUL task messages survive
+    commit, so speculative/retried attempts can never duplicate data).
+    The written store is identical on disk — decode(), verify(), metrics()
+    and the format reader all work on it."""
+
+    def __init__(self, path: str, schema: StructType, overwrite: bool,
+                 max_chunk_values):
+        import shutil
+
+        if "doc_id" not in schema.fieldNames():
+            raise ValueError("plc stores require a doc_id column "
+                             "(chunk pruning + lineage identity)")
+        self.path = path
+        self.schema = schema
+        self.max_vals = int(max_chunk_values or (1 << 22))
+        self.wcol = "n_tok" if "n_tok" in schema.fieldNames() else "_w"
+        has_state = (os.path.exists(os.path.join(path, "_manifest"))
+                     or os.path.exists(os.path.join(path, "data")))
+        if has_state:
+            if not overwrite:
+                raise FileExistsError(
+                    f"{path} already has encode state; plc format writes "
+                    f"support mode('overwrite') — for append/resume use "
+                    f"plc.encode(..., resume=True)")
+            shutil.rmtree(self.path, ignore_errors=True)
+
+    def write(self, iterator):
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from pyspark import TaskContext
+
+        from plc.chunk import EncodeConfig, column_stats, pack_chunk
+        from plc.pipeline import _ENC_ARROW_SCHEMA
+
+        pid = TaskContext.get().partitionId()
+        cfg = EncodeConfig()
+        enc_rows: list[pa.RecordBatch] = []
+        buf: list[pa.RecordBatch] = []
+        wsum = 0
+        chunk_idx = 0
+        totals = {"rows": 0, "tokens": 0, "raw": 0, "enc": 0}
+        mins, maxs = [], []
+
+        def flush():
+            nonlocal buf, wsum, chunk_idx
+            if not buf:
+                return
+            big = (buf[0] if len(buf) == 1 else
+                   pa.Table.from_batches(buf).combine_chunks()
+                   .to_batches(max_chunksize=1 << 31)[0])
+            blob, codecs = pack_chunk(big, cfg)
+            stats = column_stats(big)
+            mm = pc.min_max(big.column("doc_id")).as_py()
+            wstat = stats.get("n_tok", {})
+            toks = int(wsum) if self.wcol == "n_tok" else big.num_rows
+            raw_b = toks * 4 if self.wcol == "n_tok" else int(big.nbytes)
+            enc_rows.append(pa.RecordBatch.from_arrays([
+                pa.array([pid], pa.int32()),
+                pa.array([chunk_idx], pa.int32()),
+                pa.array([big.num_rows], pa.int64()),
+                pa.array([toks], pa.int64()),
+                pa.array([raw_b], pa.int64()),
+                pa.array([len(blob)], pa.int64()),
+                pa.array([mm["min"]], pa.string()),
+                pa.array([mm["max"]], pa.string()),
+                pa.array([wstat.get("min")], pa.int64()),
+                pa.array([wstat.get("max")], pa.int64()),
+                pa.array([json.dumps(stats)], pa.string()),
+                pa.array([json.dumps(codecs)], pa.string()),
+                pa.array([blob], pa.binary()),
+            ], schema=_ENC_ARROW_SCHEMA))
+            totals["rows"] += big.num_rows
+            totals["tokens"] += toks
+            totals["raw"] += raw_b
+            totals["enc"] += len(blob)
+            mins.append(mm["min"])
+            maxs.append(mm["max"])
+            chunk_idx += 1
+            buf, wsum = [], 0
+
+        for batch in iterator:
+            if batch.num_rows == 0:
+                continue
+            w = (int(pc.sum(batch.column("n_tok")).as_py() or 0)
+                 if self.wcol == "n_tok" else batch.num_rows)
+            buf.append(batch)
+            wsum += w
+            if wsum >= self.max_vals:
+                flush()
+        flush()
+        if not enc_rows:
+            return PLCCommit(pid, None, 0, 0, 0, 0, 0, None, None)
+        pdir = os.path.join(self.path, "data", f"part_id={pid}")
+        os.makedirs(pdir, exist_ok=True)
+        fname = f"part-{pid:05d}-{uuid.uuid4().hex}.parquet"
+        tbl = pa.Table.from_batches(enc_rows).drop_columns(["part_id"])
+        pq.write_table(tbl, os.path.join(pdir, fname),
+                       compression="none")
+        return PLCCommit(pid, fname, chunk_idx, totals["rows"],
+                         totals["tokens"], totals["raw"], totals["enc"],
+                         min(mins), max(maxs))
+
+    def commit(self, messages) -> None:
+        import pyarrow as pa
+
+        msgs = [m for m in messages if m is not None]
+        # only files named by SUCCESSFUL attempts survive — a retried or
+        # speculative task's orphan file is removed here, never read
+        keep = {(m.part_id, m.file) for m in msgs if m.file}
+        for pdir in glob.glob(os.path.join(self.path, "data", "part_id=*")):
+            pid = int(os.path.basename(pdir).split("=")[1])
+            for f in glob.glob(os.path.join(pdir, "*.parquet")):
+                if (pid, os.path.basename(f)) not in keep:
+                    os.unlink(f)
+        os.makedirs(os.path.join(self.path, "_manifest", "parts"),
+                    exist_ok=True)
+        plan = {
+            "n_parts": (max((m.part_id for m in msgs), default=0) + 1),
+            "bounds": [], "tau": 2**31 - 1, "weight_col": self.wcol,
+            "straggler_parts": 0,
+            "total_rows": sum(m.n_rows for m in msgs),
+            "schema": self.schema.jsonValue(),
+        }
+        with open(os.path.join(self.path, "_manifest", "plan.json"),
+                  "w") as f:
+            json.dump(plan, f)
+        man = pa.table({
+            "part_id": pa.array([m.part_id for m in msgs], pa.int32()),
+            "n_chunks": pa.array([m.n_chunks for m in msgs], pa.int64()),
+            "n_rows": pa.array([m.n_rows for m in msgs], pa.int64()),
+            "n_tokens": pa.array([m.n_tokens for m in msgs], pa.int64()),
+            "raw_bytes": pa.array([m.raw_bytes for m in msgs], pa.int64()),
+            "enc_bytes": pa.array([m.enc_bytes for m in msgs], pa.int64()),
+            "min_doc_id": pa.array([m.min_doc_id for m in msgs],
+                                   pa.string()),
+            "max_doc_id": pa.array([m.max_doc_id for m in msgs],
+                                   pa.string()),
+        })
+        pq.write_table(man, os.path.join(self.path, "_manifest", "parts",
+                                         "manifest-0.parquet"))
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        # no manifest was committed, so nothing is readable; drop the
+        # partial data files to leave a clean slate for a retry
+        shutil.rmtree(os.path.join(self.path, "data"), ignore_errors=True)
 
 
 def register(spark) -> None:

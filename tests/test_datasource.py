@@ -106,3 +106,38 @@ def test_format_ignores_uncommitted_parts(spark, store):
         assert df.count() == src.count()  # stale part invisible
     finally:
         shutil.rmtree(fake, ignore_errors=True)
+
+
+def test_format_write_roundtrip(spark, store):
+    """df.write.format('plc') — the declarative encode: range-partitioned
+    write, then verify() against the source and read back via the format,
+    decode() and metrics() all on the same store."""
+    from plc.pipeline import metrics, verify
+
+    src, _ = store
+    work = tempfile.mkdtemp(prefix="plc_ds_write_")
+    dst = os.path.join(work, "store")
+    try:
+        (src.repartitionByRange(4, "doc_id")
+            .sortWithinPartitions("doc_id")
+            .write.format("plc").mode("overwrite").save(dst))
+        assert verify(spark, src, dst)["mismatches"] == 0
+        assert spark.read.format("plc").load(dst).count() == src.count()
+        assert metrics(spark, dst).count() == 4  # one part per partition
+        # overwrite replaces state; a second write must not duplicate
+        (src.limit(100).repartition(2)
+            .write.format("plc").mode("overwrite").save(dst))
+        assert spark.read.format("plc").load(dst).count() == 100
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_format_write_requires_doc_id(spark, store):
+    src, _ = store
+    work = tempfile.mkdtemp(prefix="plc_ds_write_nodoc_")
+    try:
+        with pytest.raises(Exception, match="doc_id"):
+            (src.drop("doc_id").write.format("plc").mode("overwrite")
+                .save(os.path.join(work, "s")))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
