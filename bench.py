@@ -73,14 +73,20 @@ def _bench_encode(master: str, src_path: str, n_parts: int,
         cfg = PipelineConfig(num_partitions=n_parts, straggler_parts=4,
                              shuffle=shuffle)
         c0 = proc_tree_cpu_sec()
+        w0 = proc_tree_cpu_sec(exclude_comm="java")
         t0 = time.perf_counter()
         report = encode(spark, df, dst, cfg, mode="overwrite")
         wall = time.perf_counter() - t0
         cpu = proc_tree_cpu_sec() - c0
+        wcpu = proc_tree_cpu_sec(exclude_comm="java") - w0
         shutil.rmtree(dst, ignore_errors=True)
         return {"wall_sec": round(wall, 3),
                 "data_path_sec": report["data_path_sec"],
                 "cpu_sec": round(cpu, 3),
+                "worker_cpu_sec": round(wcpu, 3),
+                # whole-box 1-min load right after the run: external-tenant
+                # contamination evidence, recorded per sample in the JSON
+                "loadavg": round(os.getloadavg()[0], 1),
                 "gbps": round(raw_bytes / report["data_path_sec"] / 1e9, 4),
                 "e2e_gbps": round(raw_bytes / wall / 1e9, 4),
                 "enc_bytes": report["enc_bytes"],
@@ -241,12 +247,12 @@ def main() -> None:
         #   throughput on real dedicated executors scales ~linearly;
         #   >= 0.8 means at most 1.25x work inflation — the north rule's
         #   bar. Wall-clock efficiency is reported alongside.
-        def _wait_quiet(max_wait: float = 120.0) -> float:
+        def _wait_quiet(max_wait: float = 180.0) -> float:
             # external tenants on this box spin the 4-thread JVM's CPU
-            # clock as well as wall; a short load-gate before each sample
-            # keeps a passing window reachable without unbounded runtime
+            # clock as well as wall; a load-gate before each sample keeps
+            # a passing window reachable without unbounded runtime
             waited = 0.0
-            while os.getloadavg()[0] > 12 and waited < max_wait:
+            while os.getloadavg()[0] > 8 and waited < max_wait:
                 time.sleep(10)
                 waited += 10
             return waited
@@ -273,8 +279,11 @@ def main() -> None:
         hi = min(hi_runs, key=lambda r: r["data_path_sec"])
         cpu_lo = min(r["cpu_sec"] for r in lo_runs)
         cpu_hi = min(r["cpu_sec"] for r in hi_runs)
+        wcpu_lo = min(r["worker_cpu_sec"] for r in lo_runs)
+        wcpu_hi = min(r["worker_cpu_sec"] for r in hi_runs)
         eff_wall = (lo["data_path_sec"] / hi["data_path_sec"]) / 4
         eff_cpu = cpu_lo / cpu_hi
+        eff_wcpu = wcpu_lo / wcpu_hi
         result["scaling"] = {
             "n_threads": 1, "n4_threads": 4,
             "protocol": ("interleaved load-gated pairs at local[1] vs "
@@ -284,17 +293,27 @@ def main() -> None:
                          "efficiency = efficiency_cpu = cpu(N)/cpu(4N) "
                          "over process-tree CPU (work inflation; robust "
                          "to tenant wall noise unless every sample of an "
-                         "arm is contended); efficiency_wall = "
+                         "arm is contended); efficiency_worker_cpu "
+                         "restricts to Python-worker CPU (the codec work "
+                         "that multiplies with executors; excludes the "
+                         "JVM's own threads, whose CPU clock spins under "
+                         "external contention); efficiency_wall = "
                          "(wall_N/wall_4N)/4 reported alongside"),
             "n_gbps": lo["gbps"], "n4_gbps": hi["gbps"],
             "n_sec": lo["data_path_sec"], "n4_sec": hi["data_path_sec"],
             "n_cpu_sec": cpu_lo, "n4_cpu_sec": cpu_hi,
+            "n_worker_cpu_sec": wcpu_lo, "n4_worker_cpu_sec": wcpu_hi,
             "n_sec_samples": [r["data_path_sec"] for r in lo_runs],
             "n4_sec_samples": [r["data_path_sec"] for r in hi_runs],
             "n_cpu_samples": [r["cpu_sec"] for r in lo_runs],
             "n4_cpu_samples": [r["cpu_sec"] for r in hi_runs],
+            "n_worker_cpu_samples": [r["worker_cpu_sec"] for r in lo_runs],
+            "n4_worker_cpu_samples": [r["worker_cpu_sec"] for r in hi_runs],
+            "n_loadavg_samples": [r["loadavg"] for r in lo_runs],
+            "n4_loadavg_samples": [r["loadavg"] for r in hi_runs],
             "efficiency_wall": round(eff_wall, 3),
             "efficiency_cpu": round(eff_cpu, 3),
+            "efficiency_worker_cpu": round(eff_wcpu, 3),
             "efficiency": round(eff_cpu, 3),
         }
         # codec-layer scaling (no Spark/IPC — the work that multiplies with

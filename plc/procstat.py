@@ -22,8 +22,17 @@ from __future__ import annotations
 import os
 
 
-def proc_tree_cpu_sec(root_pid: int | None = None) -> float:
-    """Total CPU seconds (user+sys, live+reaped) of ``root_pid``'s subtree."""
+def proc_tree_cpu_sec(root_pid: int | None = None, *,
+                      exclude_comm: str | None = None) -> float:
+    """Total CPU seconds (user+sys, live+reaped) of ``root_pid``'s subtree.
+
+    ``exclude_comm``: skip the OWN utime/stime of processes with this comm
+    (their cutime/cstime — i.e. their reaped children — still count). With
+    ``exclude_comm="java"`` the result is the Python-side work only: live
+    Python workers plus reaped workers credited to the JVM, but not the
+    JVM's own scan/shuffle/GC threads. Under heavy external contention a
+    multi-threaded JVM inflates its own CPU clock (scheduler/GC spin), so
+    the worker-only figure is the most contention-immune work measure."""
     clk = os.sysconf("SC_CLK_TCK")
     procs: dict[int, tuple[int, int]] = {}
     for d in os.listdir("/proc"):
@@ -34,11 +43,16 @@ def proc_tree_cpu_sec(root_pid: int | None = None) -> float:
                 s = f.read()
         except OSError:
             continue  # raced with process exit
+        lp = s.index(b"(")
         rp = s.rfind(b")")  # comm may contain spaces/parens
+        comm = s[lp + 1 : rp].decode(errors="replace")
         fields = s[rp + 2 :].split()
         ppid = int(fields[1])
-        ticks = sum(int(fields[j]) for j in (11, 12, 13, 14))
-        procs[int(d)] = (ppid, ticks)
+        own = int(fields[11]) + int(fields[12])
+        reaped = int(fields[13]) + int(fields[14])
+        if exclude_comm is not None and comm == exclude_comm:
+            own = 0
+        procs[int(d)] = (ppid, own + reaped)
     kids: dict[int, list[int]] = {}
     for p, (pp, _) in procs.items():
         kids.setdefault(pp, []).append(p)
