@@ -40,10 +40,10 @@ import pyarrow.parquet as pq
 from dataclasses import dataclass
 
 from pyspark.sql.datasource import (DataSource, DataSourceArrowWriter,
-                                    DataSourceReader, EqualTo, GreaterThan,
-                                    GreaterThanOrEqual, InputPartition,
-                                    LessThan, LessThanOrEqual,
-                                    WriterCommitMessage)
+                                    DataSourceReader, DataSourceStreamReader,
+                                    EqualTo, GreaterThan, GreaterThanOrEqual,
+                                    InputPartition, LessThan,
+                                    LessThanOrEqual, WriterCommitMessage)
 from pyspark.sql.types import StructType
 
 _META_COLS = ["chunk_idx", "min_doc_id", "max_doc_id", "min_w", "max_w",
@@ -82,7 +82,17 @@ class PLCDataSource(DataSource):
         return path
 
     def schema(self) -> StructType:
-        return StructType.fromJson(_load_plan(self._path())["schema"])
+        path = self._path()
+        if os.path.exists(os.path.join(path, "_manifest", "plan.json")):
+            return StructType.fromJson(_load_plan(path)["schema"])
+        # streaming root (plc.streaming.encode_stream output): batch=<id>
+        # sub-stores, each a complete encode — schema from the first one
+        for b in sorted(glob.glob(os.path.join(path, "batch=*"))):
+            if os.path.exists(os.path.join(b, "_manifest", "plan.json")):
+                return StructType.fromJson(_load_plan(b)["schema"])
+        raise FileNotFoundError(
+            f"{path} is neither a plc store (_manifest/plan.json) nor a "
+            f"stream root with committed batch=<id> stores")
 
     def reader(self, schema: StructType) -> "PLCReader":
         return PLCReader(self._path(), schema)
@@ -90,6 +100,9 @@ class PLCDataSource(DataSource):
     def writer(self, schema: StructType, overwrite: bool) -> "PLCWriter":
         return PLCWriter(self._path(), schema, overwrite,
                          self.options.get("max_chunk_values"))
+
+    def streamReader(self, schema: StructType) -> "PLCStreamReader":
+        return PLCStreamReader(self._path(), schema)
 
 
 class PLCChunkPartition(InputPartition):
@@ -199,31 +212,83 @@ class PLCReader(DataSourceReader):
     # -- execution (one task per encoded file) ------------------------------
 
     def read(self, partition: PLCChunkPartition):
-        import pyarrow as pa
+        yield from _read_chunk_partition(partition, self.schema)
 
-        from plc.chunk import unpack_chunk
 
-        if partition is None:  # Spark probes an empty partition list once
-            return
-        names = [f.name for f in self.schema.fields]
-        if not names:
-            # zero-column projection (SELECT count(*)): row counts come
-            # from the chunk metadata, no frame is ever decoded
-            tbl = pq.read_table(partition.file, columns=["n_rows"])
-            rows = tbl.column("n_rows").to_pylist()
-            idxs = (range(len(rows)) if partition.rows is None
-                    else partition.rows)
-            for i in idxs:
-                yield pa.RecordBatch.from_struct_array(
-                    pa.array([{}] * rows[i], pa.struct([])))
-            return
-        tbl = pq.read_table(partition.file, columns=["payload"])
-        payloads = tbl.column("payload")
-        idxs = (range(len(payloads)) if partition.rows is None
+def _read_chunk_partition(partition: PLCChunkPartition | None,
+                          schema: StructType):
+    """Executor-side decode of one chunk-file partition (shared by the
+    batch and stream readers)."""
+    import pyarrow as pa
+
+    from plc.chunk import unpack_chunk
+
+    if partition is None:  # Spark probes an empty partition list once
+        return
+    names = [f.name for f in schema.fields]
+    if not names:
+        # zero-column projection (SELECT count(*)): row counts come
+        # from the chunk metadata, no frame is ever decoded
+        tbl = pq.read_table(partition.file, columns=["n_rows"])
+        rows = tbl.column("n_rows").to_pylist()
+        idxs = (range(len(rows)) if partition.rows is None
                 else partition.rows)
         for i in idxs:
-            rb = unpack_chunk(payloads[i].as_buffer(), columns=names)
-            yield rb.select(names)
+            yield pa.RecordBatch.from_struct_array(
+                pa.array([{}] * rows[i], pa.struct([])))
+        return
+    tbl = pq.read_table(partition.file, columns=["payload"])
+    payloads = tbl.column("payload")
+    idxs = (range(len(payloads)) if partition.rows is None
+            else partition.rows)
+    for i in idxs:
+        rb = unpack_chunk(payloads[i].as_buffer(), columns=names)
+        yield rb.select(names)
+
+
+class PLCStreamReader(DataSourceStreamReader):
+    """``spark.readStream.format("plc")`` over a
+    :func:`plc.streaming.encode_stream` output root: every newly COMMITTED
+    ``batch=<id>`` sub-store (manifest present — in-flight/crashed batches
+    stay invisible) becomes input of the next micro-batch, decoded
+    executor-side through the same chunk partitions as the batch reader.
+    Offsets are the max committed batch id, so restart/replay is exact."""
+
+    def __init__(self, path: str, schema: StructType):
+        self.path = path
+        self.schema = schema
+
+    def _committed_ids(self) -> list[int]:
+        out = []
+        for b in glob.glob(os.path.join(self.path, "batch=*")):
+            if glob.glob(os.path.join(b, "_manifest", "parts",
+                                      "*.parquet")):
+                out.append(int(os.path.basename(b).split("=")[1]))
+        return sorted(out)
+
+    def initialOffset(self) -> dict:
+        return {"last": -1}
+
+    def latestOffset(self) -> dict:
+        ids = self._committed_ids()
+        return {"last": ids[-1] if ids else -1}
+
+    def partitions(self, start: dict, end: dict):
+        parts: list[PLCChunkPartition] = []
+        for bid in self._committed_ids():
+            if start["last"] < bid <= end["last"]:
+                bpath = os.path.join(self.path, f"batch={bid}")
+                parts.extend(PLCReader(bpath, self.schema).partitions())
+        return parts
+
+    def read(self, partition: PLCChunkPartition):
+        yield from _read_chunk_partition(partition, self.schema)
+
+    def commit(self, end: dict) -> None:
+        pass  # batch dirs are the durable record; nothing to release
+
+    def stop(self) -> None:
+        pass
 
 
 @dataclass

@@ -141,3 +141,41 @@ def test_format_write_requires_doc_id(spark, store):
                 .save(os.path.join(work, "s")))
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_format_stream_read(spark):
+    """spark.readStream.format('plc') tails an encode_stream output root:
+    committed batch stores feed micro-batches (executor-side decode), and
+    the aggregate matches the batch ground truth."""
+    import __spark_entry__ as E
+    from plc.datasource import register
+    from plc.streaming import encode_stream
+
+    register(spark)
+    work = tempfile.mkdtemp(prefix="plc_ds_stream_")
+    src_dir = os.path.join(work, "in")
+    os.makedirs(src_dir)
+    dst = os.path.join(work, "store")
+    try:
+        tv = E.tokens_view(spark, "/root/testdata/sf0.001").limit(200)
+        tv.write.parquet(os.path.join(src_dir, "f1"))
+        stream = (spark.readStream.schema(tv.schema)
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(src_dir + "/*"))
+        q = encode_stream(stream, dst, os.path.join(work, "ckpt"),
+                          PipelineConfig(num_partitions=2,
+                                         straggler_parts=0))
+        q.awaitTermination(180)
+        sq = (spark.readStream.format("plc").load(dst)
+              .groupBy("source").agg(F.count("*").alias("n"))
+              .writeStream.outputMode("complete").format("memory")
+              .queryName("plc_ds_stream_t").trigger(availableNow=True)
+              .start())
+        sq.awaitTermination(180)
+        got = {r["source"]: r["n"]
+               for r in spark.sql("select * from plc_ds_stream_t").collect()}
+        want = {r["source"]: r["n"] for r in
+                tv.groupBy("source").agg(F.count("*").alias("n")).collect()}
+        assert got == want
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
