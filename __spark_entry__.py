@@ -429,6 +429,27 @@ def _encode_embeddings(spark, sf):
     return spark.read.parquet(_manifest_path(dst)).orderBy("part_id")
 
 
+def _curate_corpus(spark, sf):
+    """Non-SQL (iterative connected components inside): the composed
+    training-data curation funnel — quality/language profile → quality
+    floor → exact + MinHash near-dup removal → tokenize → encode into the
+    store. Returns the funnel counters + encode report (rows-only check;
+    monotonicity asserted so the entry can fail)."""
+    from plc.curate import curate
+
+    docs = _t(spark, sf, "documents")
+    dst = tempfile.mkdtemp(prefix="plc_qcur_") + "/store"
+    rep = curate(spark, docs, dst, quality_min=0.4,
+                 near_dup_threshold=0.7, mode="overwrite")
+    assert rep["n_input"] >= rep["n_quality"] >= rep["n_deduped"] > 0, rep
+    assert rep["rows"] == rep["n_deduped"], rep
+    return spark.createDataFrame(
+        [(rep["n_input"], rep["n_quality"], rep["n_deduped"],
+          rep["raw_bytes"], rep["enc_bytes"])],
+        "n_input bigint, n_quality bigint, n_deduped bigint, "
+        "raw_bytes bigint, enc_bytes bigint")
+
+
 def _encode_events(spark, sf):
     """Non-SQL: encode the events table (timestamp TYPED plane + int64/
     string/double planes) through the full pipeline; returns the lineage
@@ -743,6 +764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_survivors": _dedup_minhash_survivors,
         "ivf_recall_check": _ivf_recall_check,
         "encode_embeddings": _encode_embeddings,
+        "curate_corpus": _curate_corpus,
         "encode_events": _encode_events,
         "encode_manifest": _encode_manifest,
         "roundtrip_check": _roundtrip_check,

@@ -1,0 +1,53 @@
+"""End-to-end training-data curation: the composed pipeline a 100 TB
+pretraining corpus actually runs, built entirely from the engine's own
+operators —
+
+    documents ──> quality/language profile (JVM expressions)
+              ──> quality floor filter
+              ──> exact dedup (hash groupBy; min doc_id wins)
+              ──> near-dup removal (MinHash-LSH + exact-Jaccard verify +
+                  connected components; exact dups collapsed first)
+              ──> tokenize (deterministic stand-in; pluggable BPE)
+              ──> encode into the chunk store (range partition, skew salt,
+                  codec auto-selection, lineage manifests, resume)
+
+Every stage is a scale-safe building block already tested on its own; this
+module wires them and reports per-stage survivor counts so the curation
+funnel is observable (the counters come from the stage DataFrames with one
+count() per stage — O(stages) extra jobs, acceptable next to the encode)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def curate(spark: SparkSession, documents: DataFrame, dst: str, *,
+           quality_min: float = 0.4, lang_keep: tuple | None = None,
+           near_dup_threshold: float = 0.7, num_hashes: int = 8,
+           bands: int = 4, seed: int = 42, cfg=None,
+           mode: str = "error") -> dict:
+    """Run the full curation funnel over a ``documents``-shaped table
+    (doc_id, text, source, ...) and encode the surviving tokens into
+    ``dst``. Returns the encode report plus per-stage counters."""
+    from plc.dedup import dedup_minhash
+    from plc.pipeline import PipelineConfig, encode
+    from plc.textstats import text_profile, tokens_table
+
+    counters = {"n_input": documents.count()}
+
+    prof = text_profile(documents)
+    kept = prof.filter(F.col("quality") >= quality_min)
+    if lang_keep:
+        kept = kept.filter(F.col("lang_pred").isin(list(lang_keep)))
+    counters["n_quality"] = kept.count()
+
+    tv = tokens_table(kept)
+    deduped = dedup_minhash(tv, "doc_id", "tokens",
+                            num_hashes=num_hashes, bands=bands, seed=seed,
+                            threshold=near_dup_threshold)
+    counters["n_deduped"] = deduped.count()
+
+    report = encode(spark, deduped, dst,
+                    cfg or PipelineConfig(num_partitions=8,
+                                          straggler_parts=2), mode=mode)
+    return {**report, **counters}

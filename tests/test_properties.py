@@ -115,6 +115,17 @@ _COL_STRATEGIES = [
                                st.integers(-(2**60), 2**60 - 1)))),
     ("decc", st.lists(st.one_of(st.none(),
                                 st.integers(-(10**24), 10**24)))),
+    ("stc", st.lists(st.one_of(
+        st.none(),
+        st.fixed_dictionaries({
+            "x": st.one_of(st.none(), st.integers(-(2**31), 2**31 - 1)),
+            "y": st.one_of(st.none(), st.text(max_size=8)),
+        })))),
+    ("mapc", st.lists(st.one_of(
+        st.none(),
+        st.dictionaries(st.integers(0, 1000),
+                        st.one_of(st.none(), st.text(max_size=6)),
+                        max_size=5)))),
 ]
 _PA_TYPES = {
     "i32": pa.int32(), "i64": pa.int64(), "f32": pa.float32(),
@@ -122,6 +133,8 @@ _PA_TYPES = {
     "binc": pa.binary(), "li32": pa.list_(pa.int32()),
     "lf32": pa.list_(pa.float32()), "tsc": pa.timestamp("us"),
     "decc": pa.decimal128(30, 4),
+    "stc": pa.struct([("x", pa.int32()), ("y", pa.string())]),
+    "mapc": pa.map_(pa.int32(), pa.string()),
 }
 
 
