@@ -47,7 +47,7 @@ def _session(master: str):
     return (SparkSession.builder.master(master)
             .appName(f"plc-bench-{master}")
             .config("spark.sql.shuffle.partitions", str(CPUS))
-            .config("spark.sql.execution.arrow.maxRecordsPerBatch", "32768")
+            .config("spark.sql.execution.arrow.maxRecordsPerBatch", "131072")
             .config("spark.driver.memory", "48g")
             .config("spark.ui.enabled", "false")
             .config("spark.sql.adaptive.enabled", "true")

@@ -35,7 +35,7 @@ def main(argv=None) -> int:
 
     def common(p):
         p.add_argument("--master", default=None)
-        p.add_argument("--arrow-batch", type=int, default=32768)
+        p.add_argument("--arrow-batch", type=int, default=131072)
         p.add_argument("--dst", required=True)
 
     p_enc = sub.add_parser("encode", help="E1: encode tokens table")
