@@ -72,6 +72,9 @@ def _bench_encode(master: str, src_path: str, n_parts: int,
         dst = tempfile.mkdtemp(prefix="plc_bench_")
         cfg = PipelineConfig(num_partitions=n_parts, straggler_parts=4,
                              shuffle=shuffle)
+        # loadavg BEFORE the run: external load only (sampling after would
+        # mostly measure this benchmark's own just-finished threads)
+        load_pre = round(os.getloadavg()[0], 1)
         c0 = proc_tree_cpu_sec()
         w0 = proc_tree_cpu_sec(exclude_comm="java")
         t0 = time.perf_counter()
@@ -84,9 +87,9 @@ def _bench_encode(master: str, src_path: str, n_parts: int,
                 "data_path_sec": report["data_path_sec"],
                 "cpu_sec": round(cpu, 3),
                 "worker_cpu_sec": round(wcpu, 3),
-                # whole-box 1-min load right after the run: external-tenant
-                # contamination evidence, recorded per sample in the JSON
-                "loadavg": round(os.getloadavg()[0], 1),
+                # whole-box 1-min load sampled BEFORE the run started:
+                # external-tenant contamination evidence per sample
+                "loadavg": load_pre,
                 "gbps": round(raw_bytes / report["data_path_sec"] / 1e9, 4),
                 "e2e_gbps": round(raw_bytes / wall / 1e9, 4),
                 "enc_bytes": report["enc_bytes"],

@@ -13,8 +13,10 @@ operators —
 
 Every stage is a scale-safe building block already tested on its own; this
 module wires them and reports per-stage survivor counts so the curation
-funnel is observable (the counters come from the stage DataFrames with one
-count() per stage — O(stages) extra jobs, acceptable next to the encode)."""
+funnel is observable. Stage boundaries are localCheckpoint()ed: the dedup
+output feeds THREE more actions (its own counter, the encode stats
+pre-pass, and the encode job itself), and without truncation the whole
+LSH + verify + connected-components lineage would re-execute per action."""
 
 from __future__ import annotations
 
@@ -39,12 +41,18 @@ def curate(spark: SparkSession, documents: DataFrame, dst: str, *,
     kept = prof.filter(F.col("quality") >= quality_min)
     if lang_keep:
         kept = kept.filter(F.col("lang_pred").isin(list(lang_keep)))
+    # checkpoint: `kept` feeds both its counter and the dedup lineage
+    kept = kept.localCheckpoint()
     counters["n_quality"] = kept.count()
 
     tv = tokens_table(kept)
     deduped = dedup_minhash(tv, "doc_id", "tokens",
                             num_hashes=num_hashes, bands=bands, seed=seed,
                             threshold=near_dup_threshold)
+    # checkpoint: encode() runs its stats pre-pass (count + sample) AND
+    # the encode job on this frame — without truncation the full dedup
+    # pipeline would re-execute for each of those actions
+    deduped = deduped.localCheckpoint()
     counters["n_deduped"] = deduped.count()
 
     report = encode(spark, deduped, dst,

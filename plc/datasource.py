@@ -48,14 +48,23 @@ from pyspark.sql.types import StructType
 
 _META_COLS = ["chunk_idx", "min_doc_id", "max_doc_id", "min_w", "max_w",
               "stats"]
-_UNIT_TO_US = {"s": 1e6, "ms": 1e3, "us": 1.0, "ns": 1e-3,
-               "d": 86400.0 * 1e6}
-_TZ_SLACK_US = 26 * 3600 * 1_000_000
 
 
 def _load_plan(path: str) -> dict:
     with open(os.path.join(path, "_manifest", "plan.json")) as f:
         return json.load(f)
+
+
+def _committed_batch_ids(path: str) -> list[int]:
+    """Batch ids under a stream root whose ATOMIC commit marker exists —
+    a partial per-part manifest (crash mid-commit, resumed later) must
+    never be consumed, or the resumed remainder would be skipped forever."""
+    out = []
+    for b in glob.glob(os.path.join(path, "batch=*")):
+        if os.path.exists(os.path.join(b, "_manifest",
+                                       "_STREAM_COMMITTED")):
+            out.append(int(os.path.basename(b).split("=")[1]))
+    return sorted(out)
 
 
 def _committed_parts(path: str) -> set[int]:
@@ -79,6 +88,16 @@ class PLCDataSource(DataSource):
         if not path:
             raise ValueError("plc data source requires a path: "
                              "spark.read.format('plc').load(dst)")
+        if path.startswith("file:"):
+            path = path[len("file:"):]
+        if "://" in path:
+            raise NotImplementedError(
+                f"the plc format does I/O with local pyarrow (driver plans "
+                f"from the store's own metadata; executors open files "
+                f"directly) and needs a filesystem visible at the same "
+                f"path everywhere (POSIX/NFS/fuse mounts); for {path!r} "
+                f"use plc.encode/plc.decode, which run through Spark's "
+                f"Hadoop filesystem layer")
         return path
 
     def schema(self) -> StructType:
@@ -113,9 +132,18 @@ class PLCChunkPartition(InputPartition):
 
 class PLCReader(DataSourceReader):
     def __init__(self, path: str, schema: StructType):
-        self.path = path
         self.schema = schema  # Spark's PRUNED projection
-        self.plan = _load_plan(path)
+        if os.path.exists(os.path.join(path, "_manifest", "plan.json")):
+            self.roots = [path]
+        else:
+            # streaming root: batch read = union of COMMITTED batch stores
+            self.roots = [os.path.join(path, f"batch={bid}")
+                          for bid in _committed_batch_ids(path)]
+            if not self.roots:
+                raise FileNotFoundError(
+                    f"{path} is neither a plc store (_manifest/plan.json) "
+                    f"nor a stream root with committed batch=<id> stores")
+        self.plan = _load_plan(self.roots[0])
         full = StructType.fromJson(self.plan["schema"])
         self.col_types = {f.name: f.dataType.simpleString() for f in full}
         self.wcol = self.plan.get("weight_col", "n_tok")
@@ -173,14 +201,17 @@ class PLCReader(DataSourceReader):
                 continue  # no stat recorded → keep
             dt = self.col_types.get(col, "")
             if dt in ("timestamp", "timestamp_ntz", "date"):
-                from plc.pipeline import _temporal_us
+                # constants shared with pipeline.select_chunks — one
+                # source of truth for the pruning semantics
+                from plc.pipeline import (TEMPORAL_TZ_SLACK_US,
+                                          TEMPORAL_UNIT_TO_US, _temporal_us)
 
-                fac = _UNIT_TO_US.get(st.get("unit"), 1.0)
+                fac = TEMPORAL_UNIT_TO_US.get(st.get("unit"), 1.0)
                 if lo is not None and smax is not None \
-                        and smax * fac < _temporal_us(lo) - _TZ_SLACK_US:
+                        and smax * fac < _temporal_us(lo) - TEMPORAL_TZ_SLACK_US:
                     return False
                 if hi is not None and smin is not None \
-                        and smin * fac > _temporal_us(hi) + _TZ_SLACK_US:
+                        and smin * fac > _temporal_us(hi) + TEMPORAL_TZ_SLACK_US:
                     return False
                 continue
             if lo is not None and smax is not None and smax < lo:
@@ -190,8 +221,14 @@ class PLCReader(DataSourceReader):
         return True
 
     def partitions(self):
-        committed = _committed_parts(self.path)
-        data = os.path.join(self.path, "data")
+        parts = []
+        for root in self.roots:
+            parts.extend(self._partitions_for(root))
+        return parts
+
+    def _partitions_for(self, root: str):
+        committed = _committed_parts(root)
+        data = os.path.join(root, "data")
         parts = []
         for pdir in sorted(glob.glob(os.path.join(data, "part_id=*"))):
             pid = int(os.path.basename(pdir).split("=")[1])
@@ -259,12 +296,7 @@ class PLCStreamReader(DataSourceStreamReader):
         self.schema = schema
 
     def _committed_ids(self) -> list[int]:
-        out = []
-        for b in glob.glob(os.path.join(self.path, "batch=*")):
-            if glob.glob(os.path.join(b, "_manifest", "parts",
-                                      "*.parquet")):
-                out.append(int(os.path.basename(b).split("=")[1]))
-        return sorted(out)
+        return _committed_batch_ids(self.path)
 
     def initialOffset(self) -> dict:
         return {"last": -1}
@@ -411,28 +443,41 @@ class PLCWriter(DataSourceArrowWriter):
         flush()
         if not enc_rows:
             return PLCCommit(pid, None, 0, 0, 0, 0, 0, None, None)
-        pdir = os.path.join(self.path, "data", f"part_id={pid}")
-        os.makedirs(pdir, exist_ok=True)
+        # tasks write to a STAGING dir; only commit() moves files named in
+        # successful task messages into the data layout. A zombie or
+        # speculative attempt finishing after commit's cleanup therefore
+        # lands in staging (which readers never look at), not in a
+        # committed part dir — the property a delete-the-orphans scan at
+        # commit time cannot give (the zombie can finish after the scan).
+        sdir = os.path.join(self.path, "_staging")
+        os.makedirs(sdir, exist_ok=True)
         fname = f"part-{pid:05d}-{uuid.uuid4().hex}.parquet"
         tbl = pa.Table.from_batches(enc_rows).drop_columns(["part_id"])
-        pq.write_table(tbl, os.path.join(pdir, fname),
+        pq.write_table(tbl, os.path.join(sdir, fname),
                        compression="none")
         return PLCCommit(pid, fname, chunk_idx, totals["rows"],
                          totals["tokens"], totals["raw"], totals["enc"],
                          min(mins), max(maxs))
 
     def commit(self, messages) -> None:
+        import shutil
+
         import pyarrow as pa
 
         msgs = [m for m in messages if m is not None]
-        # only files named by SUCCESSFUL attempts survive — a retried or
-        # speculative task's orphan file is removed here, never read
-        keep = {(m.part_id, m.file) for m in msgs if m.file}
-        for pdir in glob.glob(os.path.join(self.path, "data", "part_id=*")):
-            pid = int(os.path.basename(pdir).split("=")[1])
-            for f in glob.glob(os.path.join(pdir, "*.parquet")):
-                if (pid, os.path.basename(f)) not in keep:
-                    os.unlink(f)
+        # promote exactly the files named by SUCCESSFUL attempts from
+        # staging into the data layout (one winning attempt per partition
+        # by Spark's commit protocol), then drop staging with whatever
+        # orphans lost attempts left there
+        sdir = os.path.join(self.path, "_staging")
+        for m in msgs:
+            if not m.file:
+                continue
+            pdir = os.path.join(self.path, "data", f"part_id={m.part_id}")
+            os.makedirs(pdir, exist_ok=True)
+            os.replace(os.path.join(sdir, m.file),
+                       os.path.join(pdir, m.file))
+        shutil.rmtree(sdir, ignore_errors=True)
         os.makedirs(os.path.join(self.path, "_manifest", "parts"),
                     exist_ok=True)
         plan = {
@@ -463,8 +508,10 @@ class PLCWriter(DataSourceArrowWriter):
     def abort(self, messages) -> None:
         import shutil
 
-        # no manifest was committed, so nothing is readable; drop the
-        # partial data files to leave a clean slate for a retry
+        # no manifest was committed, so nothing is readable; drop staged
+        # files (and any data dir from a partial commit) for a clean retry
+        shutil.rmtree(os.path.join(self.path, "_staging"),
+                      ignore_errors=True)
         shutil.rmtree(os.path.join(self.path, "data"), ignore_errors=True)
 
 

@@ -46,6 +46,13 @@ ENC_SCHEMA_DDL = (
     "raw_bytes bigint, enc_bytes bigint, min_doc_id string, max_doc_id string, "
     "min_w bigint, max_w bigint, stats string, codecs string, payload binary"
 )
+# temporal chunk-stat pruning constants — single source of truth shared by
+# select_chunks (Column expressions) and the plc DataSource (plain Python);
+# values are "multiply a raw stat in this unit by X to get microseconds"
+TEMPORAL_UNIT_TO_US = {"s": 1e6, "ms": 1e3, "us": 1.0, "ns": 1e-3,
+                       "d": 86400.0 * 1e6}
+TEMPORAL_TZ_SLACK_US = 26 * 3600 * 1_000_000
+
 _ENC_ARROW_SCHEMA = pa.schema([
     ("part_id", pa.int32()), ("chunk_idx", pa.int32()), ("n_rows", pa.int64()),
     ("n_tokens", pa.int64()), ("raw_bytes", pa.int64()), ("enc_bytes", pa.int64()),
@@ -706,13 +713,10 @@ def select_chunks(spark: SparkSession, dst: str, *,
                 # naive bound keeps pruning a superset (the exact row-level
                 # filter below settles the boundary chunks)
                 sunit = F.get_json_object("stats", f"$.{col}.unit")
-                fac = (F.when(sunit == "s", F.lit(1e6))
-                       .when(sunit == "ms", F.lit(1e3))
-                       .when(sunit == "us", F.lit(1.0))
-                       .when(sunit == "ns", F.lit(1e-3))
-                       .when(sunit == "d", F.lit(86400.0 * 1e6))
-                       .otherwise(F.lit(1.0)))
-                slack = 26 * 3600 * 1_000_000
+                fac = F.lit(1.0)
+                for u, x in TEMPORAL_UNIT_TO_US.items():
+                    fac = F.when(sunit == u, F.lit(x)).otherwise(fac)
+                slack = TEMPORAL_TZ_SLACK_US
                 if lo is not None:
                     enc = enc.filter(
                         smax.isNull() | (smax.cast("double") * fac >=

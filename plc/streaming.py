@@ -35,6 +35,8 @@ def encode_stream(stream_df: DataFrame, dst: str, checkpoint: str,
     cfg = cfg or PipelineConfig(num_partitions=4, straggler_parts=0)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        from plc import fsio
+
         spark = batch_df.sparkSession
         bdst = f"{dst}/batch={batch_id}"
         try:
@@ -43,6 +45,15 @@ def encode_stream(stream_df: DataFrame, dst: str, checkpoint: str,
             # replayed microbatch after a crash: the fresh-run guard fired;
             # resume finishes exactly the uncommitted parts (idempotent)
             encode(spark, batch_df, bdst, cfg, resume=True)
+        # batch-level commit marker, written only after EVERY part of this
+        # batch is manifest-committed. The per-part manifest is a
+        # non-atomic multi-file append (a crash mid-commit leaves a
+        # partial manifest that resume finishes later), so readers that
+        # gate on "any manifest file exists" could consume a partial
+        # batch and then miss the resumed remainder — the marker is the
+        # atomic full-batch signal decode_stream and the plc streaming
+        # source wait for.
+        fsio.write_text(spark, f"{bdst}/_manifest/_STREAM_COMMITTED", "1")
 
     writer = (stream_df.writeStream.foreachBatch(handle)
               .option("checkpointLocation", checkpoint))
@@ -62,7 +73,11 @@ def decode_stream(spark: SparkSession, dst: str) -> DataFrame:
         if st.getPath().getName().startswith("batch="))
     out = None
     for b in batches:
-        if not fsio.nonempty_dir(spark, f"{b}/_manifest/parts", ".parquet"):
+        # gate on the atomic batch marker, not "some manifest file
+        # exists": a crash mid-manifest-commit leaves a PARTIAL manifest
+        # that a later replay resumes — consuming it early would silently
+        # skip the resumed parts
+        if not fsio.exists(spark, f"{b}/_manifest/_STREAM_COMMITTED"):
             continue  # uncommitted/in-flight batch: not visible to readers
         d = decode(spark, b)
         out = d if out is None else out.unionByName(d)

@@ -7,6 +7,8 @@ import os
 import shutil
 import tempfile
 
+import pyarrow.parquet as pq
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -179,3 +181,94 @@ def test_format_stream_read(spark):
         assert got == want
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_pruning_equivalence_with_select_chunks(spark):
+    """Review fix companion: the DataSource's Python chunk-survival
+    predicate and pipeline.select_chunks' Column expressions must prune
+    IDENTICAL chunk sets for the same bounds (doc_id range, weight range,
+    and a temporal range) — shared constants, cross-checked here."""
+    import datetime
+
+    from plc.datasource import PLCReader, _load_plan
+    from plc.pipeline import select_chunks
+    from pyspark.sql.datasource import (GreaterThanOrEqual,
+                                        LessThanOrEqual)
+    from pyspark.sql.types import StructType
+
+    ev = (spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+          .withColumn("doc_id", F.format_string("ev-%012d", "event_id")))
+    mn = ev.agg(F.min("ts")).collect()[0][0]
+    dst = tempfile.mkdtemp(prefix="plc_eq_")
+    try:
+        encode(spark, ev, dst,
+               PipelineConfig(num_partitions=6, straggler_parts=0,
+                              max_chunk_values=1500), mode="overwrite")
+        lo = (mn + datetime.timedelta(days=8)).isoformat(sep=" ")
+        hi = (mn + datetime.timedelta(days=16)).isoformat(sep=" ")
+        cases = [
+            ({"ts": (lo, hi)},
+             [GreaterThanOrEqual(("ts",), lo), LessThanOrEqual(("ts",), hi)]),
+            ({"value": (0.0, 0.4)},
+             [GreaterThanOrEqual(("value",), 0.0),
+              LessThanOrEqual(("value",), 0.4)]),
+            ({"doc_id": ("ev-000000000100", "ev-000000000700")},
+             [GreaterThanOrEqual(("doc_id",), "ev-000000000100"),
+              LessThanOrEqual(("doc_id",), "ev-000000000700")]),
+        ]
+        schema = StructType.fromJson(_load_plan(dst)["schema"])
+        for filt, pushed in cases:
+            n_pipeline = select_chunks(spark, dst, filters=filt)[0].count()
+            r = PLCReader(dst, schema)
+            list(r.pushFilters(pushed))
+            n_ds = sum(len(p.rows) if p.rows is not None else
+                       pq.read_table(p.file, columns=["chunk_idx"]).num_rows
+                       for p in r.partitions())
+            assert n_ds == n_pipeline, (filt, n_ds, n_pipeline)
+    finally:
+        shutil.rmtree(dst, ignore_errors=True)
+
+
+def test_stream_root_batch_read_and_marker_gating(spark):
+    """Review fixes: (a) a stream root reads as a BATCH union of committed
+    batches; (b) a batch with manifest files but NO atomic commit marker
+    (crash mid-commit) is invisible to both readers."""
+    import __spark_entry__ as E
+    from plc.datasource import register
+    from plc.streaming import decode_stream, encode_stream
+
+    register(spark)
+    work = tempfile.mkdtemp(prefix="plc_ds_root_")
+    src_dir = os.path.join(work, "in")
+    os.makedirs(src_dir)
+    dst = os.path.join(work, "store")
+    try:
+        tv = E.tokens_view(spark, "/root/testdata/sf0.001").limit(150)
+        tv.write.parquet(os.path.join(src_dir, "f1"))
+        stream = (spark.readStream.schema(tv.schema)
+                  .parquet(src_dir + "/*"))
+        q = encode_stream(stream, dst, os.path.join(work, "ckpt"),
+                          PipelineConfig(num_partitions=2,
+                                         straggler_parts=0))
+        q.awaitTermination(180)
+        # batch read over the root
+        df = spark.read.format("plc").load(dst)
+        assert df.count() == 150
+        # simulate a partially-committed batch: manifest parquet present,
+        # marker absent → invisible everywhere
+        committed = sorted(glob.glob(os.path.join(dst, "batch=*")))[0]
+        partial = os.path.join(dst, "batch=999")
+        shutil.copytree(committed, partial)
+        os.unlink(os.path.join(partial, "_manifest", "_STREAM_COMMITTED"))
+        assert spark.read.format("plc").load(dst).count() == 150
+        assert decode_stream(spark, dst).count() == 150
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_format_rejects_remote_uris(spark):
+    from plc.datasource import register
+
+    register(spark)
+    with pytest.raises(Exception, match="Hadoop filesystem|plc.encode"):
+        spark.read.format("plc").load("hdfs://nn/warehouse/enc").count()
