@@ -376,15 +376,21 @@ def _simhash_sig_arrays(batch, tokens_col: str, bits: int,
 
 
 def simhash_sigs(df: DataFrame, key_col: str, tokens_col: str = "tokens",
-                 *, bits: int = 32, seed: int = 42) -> DataFrame:
-    """(key, sig) via one Arrow-vectorized kernel — the bulk path for
-    :func:`simhash_candidates` (the pure-expression signature evaluates
-    ``bits`` aggregates per row, which dominates wall at table scale)."""
+                 *, bits: int = 32, seed: int = 42,
+                 carry: tuple[str, ...] = ()) -> DataFrame:
+    """(key, sig, *carry) via one Arrow-vectorized kernel — the bulk path
+    for :func:`simhash_candidates` (the pure-expression signature evaluates
+    ``bits`` aggregates per row, which dominates wall at table scale).
+    ``carry`` columns pass through the kernel unchanged — cheaper at scale
+    than joining side data back onto the signatures afterwards."""
     if not 0 < bits <= 62:  # driver-side: fail before any job launches
         raise ValueError(f"bits must be in 1..62 (got {bits})")
     from plc.util import ensure_shipped
 
     ensure_shipped(df.sparkSession)
+    carry = tuple(carry)
+    ddl = "k string, sig bigint" + "".join(
+        f", {c} {df.schema[c].dataType.simpleString()}" for c in carry)
 
     def run(batches):
         import pyarrow as pa
@@ -393,9 +399,51 @@ def simhash_sigs(df: DataFrame, key_col: str, tokens_col: str = "tokens",
             sig = _simhash_sig_arrays(batch, tokens_col, bits, seed)
             yield pa.RecordBatch.from_arrays(
                 [batch.column(key_col).cast(pa.string()),
-                 pa.array(sig, pa.int64())], names=["k", "sig"])
+                 pa.array(sig, pa.int64())]
+                + [batch.column(c) for c in carry],
+                names=["k", "sig", *carry])
 
-    return df.select(key_col, tokens_col).mapInArrow(run, "k string, sig bigint")
+    return df.select(key_col, tokens_col, *carry).mapInArrow(run, ddl)
+
+
+def _banded_pairs(sigs: DataFrame, *, bits: int, bands: int,
+                  max_hamming: int, carry: tuple[str, ...] = ()) -> DataFrame:
+    """Distinct qualifying pairs from a (k, sig, *carry) frame via the
+    banded self-join. A pair sharing several bands has exactly ONE first
+    equal band, and the join keeps it only there — the output is
+    duplicate-free by construction, with no dropDuplicates shuffle over
+    the (bucket²-sized) raw pair stream. ``carry`` columns come back
+    suffixed ``_a``/``_b``."""
+    if bits % bands:
+        raise ValueError(f"bits ({bits}) must divide into bands ({bands})")
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming {max_hamming} > bands-1 ({bands - 1}): banding "
+            f"would miss qualifying pairs; raise bands")
+    w = bits // bands
+    bvals = F.array(*[F.shiftright(F.col("sig"), i * w) % F.lit(1 << w)
+                      for i in range(bands)])
+    banded = sigs.select("k", "sig", *carry,
+                         F.posexplode(bvals).alias("band", "bval"))
+    a, b = banded.alias("a"), banded.alias("b")
+
+    def band_of(side, j):
+        return F.shiftright(F.col(f"{side}.sig"), j * w) % F.lit(1 << w)
+
+    first_eq = F.lit(True)
+    for j in range(bands - 1):
+        first_eq = first_eq & ((F.col("a.band") <= F.lit(j))
+                               | (band_of("a", j) != band_of("b", j)))
+    ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bval") == F.col("b.bval"))
+                   & (F.col("a.k") < F.col("b.k")))
+            .where(first_eq & (ham <= max_hamming))
+            .select(F.col("a.k").alias("key_a"),
+                    F.col("b.k").alias("key_b"),
+                    ham.alias("hamming"),
+                    *[F.col(f"a.{c}").alias(f"{c}_a") for c in carry],
+                    *[F.col(f"b.{c}").alias(f"{c}_b") for c in carry]))
 
 
 def simhash_candidates(df: DataFrame, key_col: str,
@@ -408,32 +456,13 @@ def simhash_candidates(df: DataFrame, key_col: str,
     exact Hamming distance filters. By pigeonhole this is EXACT for
     ``max_hamming <= bands - 1``: a pair differing in ≤ bands-1 bits has
     at least one identical band, so no qualifying pair is missed —
-    the Hamming-sketch complement of the MinHash-LSH Jaccard path."""
-    if bits % bands:
-        raise ValueError(f"bits ({bits}) must divide into bands ({bands})")
-    if max_hamming > bands - 1:
-        raise ValueError(
-            f"max_hamming {max_hamming} > bands-1 ({bands - 1}): banding "
-            f"would miss qualifying pairs; raise bands")
-    w = bits // bands
+    the Hamming-sketch complement of the MinHash-LSH Jaccard path.
+
+    Each pair is emitted from its FIRST equal band only (prefix-band
+    inequality predicate in the join), so the output is distinct without
+    a dropDuplicates shuffle over the raw bucket² pair stream."""
     d = simhash_sigs(df, key_col, tokens_col, bits=bits, seed=seed)
-    bvals = F.array(*[F.shiftright(F.col("sig"), i * w) % F.lit(1 << w)
-                      for i in range(bands)])
-    banded = d.select("k", "sig",
-                      F.posexplode(bvals).alias("band", "bval"))
-    a, b = banded.alias("a"), banded.alias("b")
-    pairs = (a.join(b, (F.col("a.band") == F.col("b.band")) &
-                       (F.col("a.bval") == F.col("b.bval")) &
-                       (F.col("a.k") < F.col("b.k")))
-             .select(F.col("a.k").alias("key_a"),
-                     F.col("b.k").alias("key_b"),
-                     F.col("a.sig").alias("sig_a"),
-                     F.col("b.sig").alias("sig_b"))
-             .dropDuplicates(["key_a", "key_b"]))
-    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return (pairs.withColumn("hamming", ham)
-            .filter(F.col("hamming") <= max_hamming)
-            .select("key_a", "key_b", "hamming"))
+    return _banded_pairs(d, bits=bits, bands=bands, max_hamming=max_hamming)
 
 
 def simhash_near_dup_stats(df: DataFrame, key_col: str,
@@ -448,7 +477,11 @@ def simhash_near_dup_stats(df: DataFrame, key_col: str,
     C(m, 2) internal pairs at Hamming 0. The banded join then runs over
     DISTINCT contents only — immune to the m²/2 exact-dup blowup that makes
     the naive pair list quadratic on duplicate-heavy corpora. Aggregates
-    are bit-identical to counting :func:`simhash_candidates` output."""
+    are bit-identical to counting :func:`simhash_candidates` output.
+
+    The multiplicity rides through the signature kernel (``carry``) and
+    the banded join, so the whole query is one shuffle (the band join)
+    plus tiny aggregates — no pair-list dedup, no ma/mb back-joins."""
     h = F.md5(F.col(tokens_col).cast("string"))
     grouped = (df.select(F.col(key_col).alias("_k"), h.alias("_h"),
                          F.col(tokens_col).alias("_t"))
@@ -456,19 +489,17 @@ def simhash_near_dup_stats(df: DataFrame, key_col: str,
                                   F.count("*").alias("_m"),
                                   F.any_value("_t").alias(tokens_col)))
     reps = grouped.select(F.col("_k").alias("rk"), "_m", tokens_col)
-    pairs = simhash_candidates(reps, "rk", tokens_col, bits=bits,
-                               bands=bands, seed=seed,
-                               max_hamming=max_hamming)
-    ma = reps.select(F.col("rk").alias("key_a"), F.col("_m").alias("ma"))
-    mb = reps.select(F.col("rk").alias("key_b"), F.col("_m").alias("mb"))
-    cross = (pairs.join(ma, "key_a").join(mb, "key_b")
-             .agg(F.coalesce(F.sum(F.col("ma") * F.col("mb")), F.lit(0))
+    d = simhash_sigs(reps, "rk", tokens_col, bits=bits, seed=seed,
+                     carry=("_m",))
+    pairs = _banded_pairs(d, bits=bits, bands=bands,
+                          max_hamming=max_hamming, carry=("_m",))
+    ma, mb = F.col("_m_a"), F.col("_m_b")
+    cross = (pairs
+             .agg(F.coalesce(F.sum(ma * mb), F.lit(0))
                   .alias("n_pairs"),
-                  F.coalesce(F.sum(F.col("hamming") * F.col("ma")
-                                   * F.col("mb")), F.lit(0))
+                  F.coalesce(F.sum(F.col("hamming") * ma * mb), F.lit(0))
                   .alias("sum_hamming"),
-                  F.coalesce(F.sum(F.when(F.col("hamming") == 0,
-                                          F.col("ma") * F.col("mb"))
+                  F.coalesce(F.sum(F.when(F.col("hamming") == 0, ma * mb)
                                    .otherwise(0)), F.lit(0))
                   .alias("n_exact")))
     within = reps.agg(F.coalesce(
