@@ -53,10 +53,10 @@ MAGIC = b"PLC1"
 VERSION = 1
 
 (PLAIN, FOR, RLE, DICT, FSST, ZSTD, STRING, LIST32, NULLS, BYTEPLANE,
- LISTGEN, BINARY, FORBP, TYPED, STRUCT) = range(15)
+ LISTGEN, BINARY, FORBP, TYPED, STRUCT, DELTA) = range(16)
 CODEC_NAMES = ["plain", "for", "rle", "dict", "fsst", "zstd", "string",
                "list", "nulls", "byteplane", "listgen", "binary", "forbp",
-               "typed", "struct"]
+               "typed", "struct", "delta"]
 
 _DTYPES = [np.dtype(t) for t in ("int32", "int64", "float32", "float64", "uint8",
                                  "int16", "uint16", "uint32", "uint64", "bool",
@@ -154,6 +154,23 @@ def _forbp_frame(arr: np.ndarray) -> bytes:
                   t.tobytes())
 
 
+def _delta_frame(arr: np.ndarray, cfg: EncodeConfig) -> bytes:
+    """Delta transform + recursive plane encode (the engine's analogue of
+    parquet's DELTA_BINARY_PACKED): store the first value and the diff
+    stream, which the normal selector then FOR/RLE/DICT-packs. Sorted or
+    near-monotonic columns (timestamps, sequence ids, list offsets) have a
+    delta range orders of magnitude narrower than their value range.
+    int64 diffs may wrap — harmless: cumsum on decode wraps identically
+    (two's-complement modular arithmetic), so round-trip stays exact."""
+    a = arr.astype(np.int64, copy=False)
+    d = np.diff(a)
+    inner = encode_int_plane(d, cfg, allow_dict=False, allow_zstd=False,
+                             allow_delta=False)
+    return _frame(DELTA, arr.size,
+                  struct.pack("<qB", int(a[0]), _DTYPE_CODE[arr.dtype]),
+                  inner)
+
+
 def _dict_int_frame(arr: np.ndarray, cfg: EncodeConfig) -> bytes:
     # hash-based dictionary encode (Arrow C++), ~5x faster than np.unique
     enc = pa.array(arr).dictionary_encode()
@@ -202,7 +219,7 @@ def _int_stats(arr: np.ndarray, cfg: EncodeConfig):
 
 
 def encode_int_plane(arr: np.ndarray, cfg: EncodeConfig, *, allow_dict: bool = True,
-                     allow_zstd: bool = True) -> bytes:
+                     allow_zstd: bool = True, allow_delta: bool = True) -> bytes:
     """K11 auto-selection for a numeric plane, then encode.
 
     Selection: stats (K10) rank candidates; the top two are trial-encoded on
@@ -235,6 +252,14 @@ def encode_int_plane(arr: np.ndarray, cfg: EncodeConfig, *, allow_dict: bool = T
     if (cfg.use_dict and allow_dict and card <= ssize * cfg.dict_max_card_frac
             and card < (1 << max(w - 1, 1))):
         candidates.append(lambda a: _dict_int_frame(a, cfg))
+    if allow_delta and arr.size >= 3:
+        # near-monotonic columns (timestamps, ids, offsets): the sampled
+        # delta range must beat the value range by a full packing width
+        # before the delta transform earns a trial slot
+        win = arr[: cfg.sample_values * 4].astype(np.int64, copy=False)
+        dw = np.diff(win)
+        if dw.size and K.bits_needed(int(dw.max()) - int(dw.min())) < w:
+            candidates.append(lambda a: _delta_frame(a, cfg))
 
     wrap = (lambda f: _zstd_wrap(f, cfg)) if (cfg.use_zstd and allow_zstd) \
         else (lambda f: f)
@@ -716,6 +741,19 @@ def decode_frame(buf: memoryview, pos: int = 0):
             [None, pa.py_buffer(offsets.tobytes()),
              pa.py_buffer(np.asarray(data, np.uint8).tobytes())])
         return arr.cast(pa.binary()), end
+    if codec == DELTA:
+        first, dt_code = struct.unpack_from("<qB", buf, body)
+        dt = _DTYPES[dt_code]
+        if n == 0:
+            return np.empty(0, dt), end
+        deltas, _ = decode_frame(buf, body + 9)
+        vals = np.empty(n, np.int64)
+        vals[0] = first
+        if n > 1:
+            # int64 cumsum wraps exactly like the encoder's diff did
+            np.cumsum(np.asarray(deltas, np.int64), out=vals[1:])
+            vals[1:] += np.int64(first)
+        return vals.astype(dt, copy=False), end
     if codec == TYPED:
         return _decode_typed(buf, body, end, n), end
     if codec == STRUCT:
@@ -819,6 +857,64 @@ def encode_value_plane(col: pa.Array, cfg: EncodeConfig) -> bytes:
 
 _STAT_PREFIX = 64  # string min/max stored as parquet-style bounded prefixes
 
+# doc_id bloom filter (parquet row-group-bloom analogue): point lookups can
+# prune chunks whose min/max range overlaps the probe but which provably do
+# not contain it. Double hashing from one md5; 31-bit h1/h2 keep every
+# (h1 + i*h2) sum far from int64 overflow on both numpy and the JVM.
+_BLOOM_K = 7
+_BLOOM_MIN_BITS = 1 << 13
+_BLOOM_MAX_BITS = 1 << 21
+
+
+def _bloom_hashes(v: str) -> tuple[int, int]:
+    import hashlib
+
+    d = hashlib.md5(v.encode("utf-8")).digest()
+    h1 = int.from_bytes(d[:4], "little") & 0x7FFFFFFF
+    h2 = (int.from_bytes(d[4:8], "little") & 0x7FFFFFFF) | 1
+    return h1, h2
+
+
+def _bloom_build(col: pa.Array, bits_per_key: int = 10) -> dict | None:
+    """{"bloom": b64, "bloom_m": bits, "bloom_k": k} over the non-null
+    values of ``col``; m is a power of two in [2^13, 2^21] (pow2 keeps the
+    modulo a mask; the cap bounds stats-JSON growth on huge chunks — FP
+    rate degrades gracefully instead of the filter exploding)."""
+    import base64
+
+    vals = [v for v in col.to_pylist() if v is not None]
+    n = len(vals)
+    if n == 0:
+        return None
+    m = max(_BLOOM_MIN_BITS,
+            min(_BLOOM_MAX_BITS, 1 << (bits_per_key * n - 1).bit_length()))
+    hs = np.array([_bloom_hashes(v) for v in vals], dtype=np.int64)
+    pos = (hs[:, :1] + np.arange(_BLOOM_K, dtype=np.int64) * hs[:, 1:]) \
+        & (m - 1)
+    bits = np.zeros(m >> 3, dtype=np.uint8)
+    np.bitwise_or.at(bits, pos.ravel() >> 3,
+                     np.left_shift(np.uint8(1), (pos.ravel() & 7)
+                                   .astype(np.uint8)))
+    return {"bloom": base64.b64encode(bits.tobytes()).decode("ascii"),
+            "bloom_m": m, "bloom_k": _BLOOM_K}
+
+
+def bloom_might_contain(st: dict, value: str) -> bool:
+    """Pure-Python probe of a column_stats bloom entry; missing or
+    foreign-parameter blooms always pass (pruning stays a superset)."""
+    import base64
+
+    b64, m, k = st.get("bloom"), st.get("bloom_m"), st.get("bloom_k")
+    if not b64 or not m or k != _BLOOM_K:
+        return True
+    bits = np.frombuffer(base64.b64decode(b64), dtype=np.uint8)
+    h1, h2 = _bloom_hashes(value)
+    for i in range(_BLOOM_K):
+        pos = (h1 + i * h2) & (m - 1)
+        if not (bits[pos >> 3] >> (pos & 7)) & 1:
+            return False
+    return True
+
 
 def _truncate_min(s: str) -> str:
     return s[:_STAT_PREFIX]
@@ -841,13 +937,19 @@ def _truncate_max(s: str) -> str:
     return s  # every prefix char saturated: keep the exact value
 
 
-def column_stats(batch: pa.RecordBatch) -> dict:
+def column_stats(batch: pa.RecordBatch, *,
+                 bloom_bits_per_key: int = 10) -> dict:
     """Per-column chunk statistics for the lineage manifest / enc table:
     min/max for numeric and string scalars, null_count for everything.
     Metadata-level (like parquet column-chunk stats) so decode can prune
     chunks on any predicate column without touching the payload blob.
     String bounds are truncated prefixes (min as-is, max incremented) so
-    long-document tables don't embed full texts in the manifest."""
+    long-document tables don't embed full texts in the manifest.
+
+    The key column (named ``doc_id``, per the engine's input contract)
+    additionally gets a bloom filter so equality probes prune chunks whose
+    min/max range overlaps but which provably lack the value (set
+    ``bloom_bits_per_key=0`` to disable)."""
     import pyarrow.compute as pc
 
     out = {}
@@ -876,6 +978,11 @@ def column_stats(batch: pa.RecordBatch) -> dict:
                     st["max"] = _truncate_max(mm["max"])
                 else:
                     st["min"], st["max"] = mm["min"], mm["max"]
+        if (name == "doc_id" and bloom_bits_per_key > 0
+                and (pa.types.is_string(t) or pa.types.is_large_string(t))):
+            b = _bloom_build(col, bloom_bits_per_key)
+            if b:
+                st.update(b)
         out[name] = st
     return out
 

@@ -186,6 +186,14 @@ class PLCReader(DataSourceReader):
                 if hi is not None and meta["min_doc_id"] is not None \
                         and meta["min_doc_id"] > hi:
                     return False
+                if lo is not None and lo == hi:
+                    # exact probe: the per-chunk doc_id bloom can rule the
+                    # chunk out even when its min/max range overlaps
+                    from plc.chunk import bloom_might_contain
+
+                    st = json.loads(meta["stats"]).get("doc_id", {})
+                    if not bloom_might_contain(st, lo):
+                        return False
                 continue
             if col == self.wcol and self.wcol != "_w":
                 if lo is not None and meta["max_w"] is not None \

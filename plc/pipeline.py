@@ -733,7 +733,40 @@ def select_chunks(spark: SparkSession, dst: str, *,
             if hi is not None:
                 enc = enc.filter(smin.isNull() |
                                  (smin.cast(cast_t) <= F.lit(hi)))
+    probe = None
+    if doc_id_min is not None and doc_id_min == doc_id_max:
+        probe = doc_id_min
+    dlo, dhi = filters.get("doc_id", (None, None))
+    if dlo is not None and dlo == dhi:
+        probe = dlo
+    if probe is not None:
+        enc = enc.filter(_bloom_probe_expr(probe))
     return enc, plan
+
+
+def _bloom_probe_expr(value: str):
+    """JVM-side bloom membership test against the per-chunk stats JSON for
+    an exact doc_id probe — pure Column expressions (unbase64 + substring +
+    hex/conv bit test), no Python in the pruning scan. Chunks without a
+    bloom (or with foreign parameters) always survive; false positives are
+    settled by decode()'s exact row filter."""
+    from plc.chunk import _BLOOM_K, _bloom_hashes
+
+    h1, h2 = _bloom_hashes(value)
+    b64 = F.get_json_object("stats", "$.doc_id.bloom")
+    m = F.get_json_object("stats", "$.doc_id.bloom_m").cast("bigint")
+    k = F.get_json_object("stats", "$.doc_id.bloom_k").cast("int")
+    bits = F.unbase64(b64)
+    cond = F.lit(True)
+    for i in range(_BLOOM_K):
+        pos = F.pmod(F.lit(h1 + i * h2), m)
+        byte = F.substring(bits, (pos / 8).cast("int") + 1, 1)
+        bval = F.conv(F.hex(byte), 16, 10).cast("int")
+        # F.shiftleft needs a literal shift count; 2^b via pow is exact
+        # for b<8 and stays a pure Column expression
+        mask = F.pow(F.lit(2.0), (pos % 8).cast("double")).cast("int")
+        cond = cond & (bval.bitwiseAND(mask) != 0)
+    return b64.isNull() | m.isNull() | (k != F.lit(_BLOOM_K)) | cond
 
 
 def _temporal_us(v) -> float:

@@ -324,3 +324,83 @@ def test_string_stats_truncated():
     assert len(st["min"]) <= _STAT_PREFIX and len(st["max"]) <= _STAT_PREFIX
     # bounds remain correct: min <= every value <= max
     assert st["min"] <= long_a and st["max"] >= long_z
+
+
+def test_delta_plane_sorted_columns():
+    """DELTA (delta transform + recursive plane encode, the engine's
+    DELTA_BINARY_PACKED analogue) must win on monotonic columns and
+    round-trip exactly — including int64 diff wraparound edges."""
+    from plc.chunk import DELTA, ZSTD, _delta_frame, _for_frame, \
+        decode_frame, encode_int_plane
+
+    ts = (np.cumsum(RNG.integers(1, 2000, 200_000)).astype(np.int64)
+          + 1_700_000_000_000_000)
+    frame = encode_int_plane(ts, CFG)
+    assert frame[0] in (DELTA, ZSTD)
+    val, _ = decode_frame(memoryview(frame), 0)
+    assert np.array_equal(np.asarray(val), ts) and val.dtype == ts.dtype
+    assert len(frame) < len(_for_frame(ts)) / 2
+
+    for arr in (
+        np.array([-2**63, 2**63 - 1, 0, -1, 2**62], np.int64),  # wrap edge
+        np.array([7], np.int32),
+        np.sort(RNG.integers(0, 60000, 50_000).astype(np.uint16)),
+        np.sort(RNG.integers(0, 10**9, 50_000).astype(np.int32)),
+    ):
+        f = _delta_frame(arr, CFG)
+        v, _ = decode_frame(memoryview(f), 0)
+        assert np.array_equal(np.asarray(v), arr) and v.dtype == arr.dtype
+
+
+def test_delta_not_selected_on_unsorted():
+    """Random (non-monotonic) data must not pay the delta trial's price:
+    the sampled delta range is wider than the value range, so DELTA never
+    enters the candidate list, and the winner stays FOR/FORBP-family."""
+    from plc.chunk import DELTA, decode_frame, encode_int_plane
+
+    arr = RNG.integers(0, 50257, 200_000).astype(np.int32)
+    frame = encode_int_plane(arr, CFG)
+    assert frame[0] != DELTA
+    val, _ = decode_frame(memoryview(frame), 0)
+    assert np.array_equal(np.asarray(val), arr)
+
+
+def test_delta_timestamp_column_through_container():
+    """A sorted timestamp column picks DELTA through the TYPED plane and
+    the full container round-trips it bit-identically."""
+    base = 1_700_000_000_000_000
+    ts = pa.array((base + np.cumsum(RNG.integers(1, 10**6, 5000))).astype("int64"),
+                  pa.timestamp("us"))
+    batch = pa.RecordBatch.from_arrays([ts], names=["ts"])
+    blob, codecs = pack_chunk(batch, CFG)
+    out = unpack_chunk(blob)
+    assert out.column("ts").equals(ts)
+
+
+def test_doc_id_bloom_stats():
+    """column_stats attaches a bloom to the doc_id column; membership holds
+    for every present value, the FP rate stays near the design point, and
+    null/empty columns degrade to always-pass (pruning stays a superset)."""
+    from plc.chunk import bloom_might_contain, column_stats
+
+    ids = [f"doc-{i:09d}" for i in range(5000)]
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array(ids), pa.array(np.arange(5000, dtype=np.int64))],
+        names=["doc_id", "x"])
+    st = column_stats(batch)["doc_id"]
+    assert st["bloom_m"] >= 8 * 5000
+    assert all(bloom_might_contain(st, v) for v in ids[::37])
+    fp = sum(bloom_might_contain(st, f"zzz-{i}") for i in range(2000)) / 2000
+    assert fp < 0.02
+    assert "bloom" not in column_stats(batch)["x"]  # key column only
+
+    nb = pa.RecordBatch.from_arrays(
+        [pa.array([None, "a", None], pa.string())], names=["doc_id"])
+    st2 = column_stats(nb)["doc_id"]
+    assert bloom_might_contain(st2, "a") and not bloom_might_contain(st2, "b")
+    empty = pa.RecordBatch.from_arrays([pa.array([], pa.string())],
+                                       names=["doc_id"])
+    st3 = column_stats(empty)["doc_id"]
+    assert "bloom" not in st3 and bloom_might_contain(st3, "anything")
+    off = column_stats(batch, bloom_bits_per_key=0)["doc_id"]
+    assert "bloom" not in off

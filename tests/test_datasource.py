@@ -272,3 +272,42 @@ def test_format_rejects_remote_uris(spark):
     register(spark)
     with pytest.raises(Exception, match="Hadoop filesystem|plc.encode"):
         spark.read.format("plc").load("hdfs://nn/warehouse/enc").count()
+
+
+def test_bloom_point_lookup_prunes_inside_range(spark, store):
+    """doc_id bloom pruning: an equality probe for a value that falls
+    INSIDE a chunk's [min_doc_id, max_doc_id] range but is absent from the
+    store must prune every chunk (range stats alone cannot), while a real
+    doc_id still decodes to exactly its row — on both the pipeline
+    (select_chunks JVM expression) and the DataSource (Python probe)."""
+    from plc.datasource import PLCReader, _load_plan
+    from plc.pipeline import decode, select_chunks
+    from pyspark.sql.datasource import EqualTo
+    from pyspark.sql.types import StructType
+
+    src, dst = store
+    real = src.select("doc_id").orderBy("doc_id").limit(2).collect()
+    probe_real = real[0]["doc_id"]
+    probe_fake = probe_real + "-missing"  # sorts between real ids
+
+    n_real = select_chunks(
+        spark, dst, filters={"doc_id": (probe_real, probe_real)})[0].count()
+    n_fake = select_chunks(
+        spark, dst, filters={"doc_id": (probe_fake, probe_fake)})[0].count()
+    assert n_real >= 1
+    assert n_fake == 0
+
+    rows = decode(spark, dst,
+                  filters={"doc_id": (probe_real, probe_real)}).count()
+    assert rows == 1
+
+    schema = StructType.fromJson(_load_plan(dst)["schema"])
+    for probe, want in ((probe_real, n_real), (probe_fake, 0)):
+        r = PLCReader(dst, schema)
+        list(r.pushFilters([EqualTo(("doc_id",), probe)]))
+        import pyarrow.parquet as _pq
+
+        n_ds = sum(len(p.rows) if p.rows is not None else
+                   _pq.read_table(p.file, columns=["chunk_idx"]).num_rows
+                   for p in r.partitions())
+        assert n_ds == want, (probe, n_ds, want)
