@@ -75,6 +75,14 @@ def main(argv=None) -> int:
                            help="per-partition lineage/compression metrics")
     common(p_met)
 
+    p_look = sub.add_parser("lookup",
+                            help="point lookup: decode the row(s) of one "
+                                 "doc_id (bloom + range chunk pruning)")
+    common(p_look)
+    p_look.add_argument("--doc-id", required=True)
+    p_look.add_argument("--columns", default=None,
+                        help="comma-separated column subset")
+
     args = ap.parse_args(argv)
     spark = _spark(args)
     try:
@@ -122,6 +130,12 @@ def main(argv=None) -> int:
             return 0 if res["mismatches"] == 0 else 1
         elif args.cmd == "metrics":
             for row in metrics(spark, args.dst).collect():
+                print(json.dumps(row.asDict(), default=str))
+        elif args.cmd == "lookup":
+            cols = args.columns.split(",") if args.columns else None
+            out = decode(spark, args.dst, columns=cols,
+                         filters={"doc_id": (args.doc_id, args.doc_id)})
+            for row in out.collect():
                 print(json.dumps(row.asDict(), default=str))
         return 0
     finally:

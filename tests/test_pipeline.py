@@ -471,3 +471,35 @@ def test_encode_direct_many_files(spark, tmp_path):
     assert rep["rows"] == 1000
     res = verify(spark, spark.read.parquet(src), dst)
     assert res["mismatches"] == 0, res
+
+
+def test_cli_lookup_point_query(spark, monkeypatch, capsys):
+    """`plc lookup --doc-id X` decodes exactly X's row through the
+    bloom+range chunk-pruned path (CLI wiring test; the pruning semantics
+    themselves are covered in test_datasource)."""
+    import json as _json
+    import tempfile
+
+    from plc import cli
+    from plc import data as D
+    from plc.pipeline import PipelineConfig, encode
+
+    work = tempfile.mkdtemp(prefix="plc_cli_lookup_")
+    src = work + "/tokens.parquet"
+    D.synth_tokens_parquet(src, 300, regime="zipf", seed=9)
+    tbl = D.synth_tokens_table(300, regime="zipf", seed=9)
+    df = spark.read.parquet(src)
+    dst = work + "/store"
+    encode(spark, df, dst, PipelineConfig(num_partitions=2,
+                                          straggler_parts=0),
+           mode="overwrite")
+    target = tbl.column("doc_id")[5].as_py()
+
+    monkeypatch.setattr(cli, "_spark", lambda args: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    rc = cli.main(["lookup", "--dst", dst, "--doc-id", target,
+                   "--columns", "doc_id,n_tok"])
+    assert rc == 0
+    lines = [ln for ln in capsys.readouterr().out.splitlines() if ln.strip()]
+    rows = [_json.loads(ln) for ln in lines]
+    assert len(rows) == 1 and rows[0]["doc_id"] == target
