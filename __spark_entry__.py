@@ -468,6 +468,30 @@ def _encode_events(spark, sf):
     return spark.read.parquet(_manifest_path(dst)).orderBy("part_id")
 
 
+def _point_lookup(spark, sf):
+    """K24 + storage path end-to-end: encode the tokens view into the
+    engine's store, then decode exactly one doc_id back out through
+    bloom + min/max chunk pruning (plc/pipeline.py select_chunks /
+    _bloom_probe_expr). An absent probe (present range, bloom-excluded)
+    must touch zero rows — folded in as n_miss. The oracle recomputes the
+    same row straight from the documents table, so the store's point-read
+    path is DuckDB-checked end-to-end."""
+    from plc.pipeline import PipelineConfig, decode, encode
+
+    src = tokens_view(spark, sf)
+    dst = tempfile.mkdtemp(prefix="plc_qpt_")
+    encode(spark, src, dst,
+           PipelineConfig(num_partitions=4, straggler_parts=0),
+           mode="overwrite")
+    probe = src.agg(F.min("doc_id")).collect()[0][0]
+    absent = probe + "-absent"
+    n_miss = decode(spark, dst, filters={"doc_id": (absent, absent)}).count()
+    hit = decode(spark, dst, filters={"doc_id": (probe, probe)},
+                 columns=["doc_id", "n_tok", "source"])
+    return hit.select("doc_id", "n_tok", "source",
+                      F.lit(n_miss).cast("bigint").alias("n_miss"))
+
+
 def _encode_manifest(spark, sf):
     """Non-SQL: full pipeline on the sf's documents-derived tokens view;
     returns the lineage manifest (rows-only driver check)."""
@@ -765,6 +789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_recall_check": _ivf_recall_check,
         "encode_embeddings": _encode_embeddings,
         "curate_corpus": _curate_corpus,
+        "point_lookup": _point_lookup,
         "encode_events": _encode_events,
         "encode_manifest": _encode_manifest,
         "roundtrip_check": _roundtrip_check,
@@ -883,6 +908,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT)
                        AS n_dup_rows
             FROM documents GROUP BY source
+        """,
+        "point_lookup": f"""
+            WITH tv AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                               CAST(len({_TOKENS_SQL}) AS INTEGER) AS n_tok,
+                               source
+                        FROM documents),
+                 p AS (SELECT min(doc_id) AS m FROM tv)
+            SELECT tv.doc_id, tv.n_tok, tv.source,
+                   CAST(0 AS BIGINT) AS n_miss
+            FROM tv, p WHERE tv.doc_id = p.m
         """,
         "dedup_minhash_pairs": _minhash_pairs_sql(),
         "simhash_near_dup": _simhash_sql(),

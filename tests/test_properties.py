@@ -175,3 +175,23 @@ def test_pack_unpack_random_schema(n_rows, data):
     out = unpack_chunk(blob)
     for nm in names:
         assert out.column(nm).equals(batch.column(nm)), nm
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.text(min_size=0, max_size=40), min_size=1, max_size=60,
+                unique=True),
+       st.text(min_size=1, max_size=40))
+def test_bloom_no_false_negatives(present, probe):
+    """The doc_id chunk bloom can never produce a false NEGATIVE for any
+    unicode value (a false negative would silently drop a chunk a point
+    decode needs); absent probes may rarely pass (superset pruning)."""
+    from plc.chunk import _bloom_build, bloom_might_contain
+
+    st_ = _bloom_build(pa.array(present, pa.string()))
+    assert st_ is not None
+    for v in present:
+        assert bloom_might_contain(st_, v)
+    if probe not in present:
+        # no assertion on the outcome (FPs allowed) — but the probe must
+        # never raise on arbitrary unicode
+        bloom_might_contain(st_, probe)
