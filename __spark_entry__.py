@@ -468,6 +468,17 @@ def _encode_events(spark, sf):
     return spark.read.parquet(_manifest_path(dst)).orderBy("part_id")
 
 
+def _packing_stats(spark, sf):
+    """Sequence packing plan over the tokens view: concatenate docs in
+    doc_id order, slice into 2048-token training examples (standard
+    boundary-splitting pack). Offsets come from the two-phase bucketed
+    cumsum (no single-partition window); the oracle recomputes the same
+    structure with a SQL window cumsum."""
+    from plc.packing import packing_stats
+
+    return packing_stats(tokens_view(spark, sf), 2048, num_buckets=16)
+
+
 def _point_lookup(spark, sf):
     """K24 + storage path end-to-end: encode the tokens view into the
     engine's store, then decode exactly one doc_id back out through
@@ -789,6 +800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_recall_check": _ivf_recall_check,
         "encode_embeddings": _encode_embeddings,
         "curate_corpus": _curate_corpus,
+        "packing_stats": _packing_stats,
         "point_lookup": _point_lookup,
         "encode_events": _encode_events,
         "encode_manifest": _encode_manifest,
@@ -908,6 +920,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT)
                        AS n_dup_rows
             FROM documents GROUP BY source
+        """,
+        "packing_stats": f"""
+            WITH tv AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                               len({_TOKENS_SQL}) AS n_tok
+                        FROM documents),
+                 o AS (SELECT n_tok,
+                              COALESCE(CAST(sum(n_tok) OVER (
+                                  ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS BIGINT), 0) AS s
+                       FROM tv)
+            SELECT CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+                   CAST(ceil(CAST(sum(n_tok) AS DOUBLE) / 2048) AS BIGINT)
+                       AS n_examples,
+                   CAST(sum(CASE WHEN n_tok > 0
+                                 AND (s + n_tok - 1) // 2048 > s // 2048
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_boundary_docs,
+                   round(CAST(sum(n_tok) AS DOUBLE)
+                         / (ceil(CAST(sum(n_tok) AS DOUBLE) / 2048) * 2048),
+                         6) AS fill_ratio
+            FROM o
         """,
         "point_lookup": f"""
             WITH tv AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
