@@ -468,6 +468,47 @@ def _encode_events(spark, sf):
     return spark.read.parquet(_manifest_path(dst)).orderBy("part_id")
 
 
+_SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def _hash_split_counts(spark, sf):
+    """Reproducible dataset split: per-split doc/token totals from the
+    key-deterministic md5 split hash (plc/curate.py hash_split) — the
+    oracle regenerates the identical hash arithmetic in DuckDB, so split
+    assignment is engine-portable by construction."""
+    from plc.curate import hash_split
+
+    tv = tokens_view(spark, sf)
+    return (hash_split(tv, _SPLIT_WEIGHTS, seed=42)
+            .groupBy("split")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tok").cast("bigint").alias("total_tokens")))
+
+
+def _hash_split_sql() -> str:
+    from plc.curate import SPLIT_MOD
+
+    names = list(_SPLIT_WEIGHTS)
+    acc, cases = 0.0, []
+    for name in names[:-1]:
+        acc += _SPLIT_WEIGHTS[name]
+        cases.append(f"WHEN hv < {int(round(acc * SPLIT_MOD))} "
+                     f"THEN '{name}'")
+    case = "CASE " + " ".join(cases) + f" ELSE '{names[-1]}' END"
+    return f"""
+        WITH tv AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                           len({_TOKENS_SQL}) AS n_tok
+                    FROM documents),
+             h AS (SELECT n_tok,
+                          ('0x' || substring(md5(doc_id || ':42'), 1, 12))
+                              ::BIGINT % {SPLIT_MOD} AS hv
+                   FROM tv)
+        SELECT {case} AS split, count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS total_tokens
+        FROM h GROUP BY split
+    """
+
+
 def _packing_stats(spark, sf):
     """Sequence packing plan over the tokens view: concatenate docs in
     doc_id order, slice into 2048-token training examples (standard
@@ -801,6 +842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encode_embeddings": _encode_embeddings,
         "curate_corpus": _curate_corpus,
         "packing_stats": _packing_stats,
+        "hash_split_counts": _hash_split_counts,
         "point_lookup": _point_lookup,
         "encode_events": _encode_events,
         "encode_manifest": _encode_manifest,
@@ -921,6 +963,7 @@ def oracle_sql() -> dict[str, str]:
                        AS n_dup_rows
             FROM documents GROUP BY source
         """,
+        "hash_split_counts": _hash_split_sql(),
         "packing_stats": f"""
             WITH tv AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
                                len({_TOKENS_SQL}) AS n_tok

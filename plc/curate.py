@@ -59,3 +59,51 @@ def curate(spark: SparkSession, documents: DataFrame, dst: str, *,
                     cfg or PipelineConfig(num_partitions=8,
                                           straggler_parts=2), mode=mode)
     return {**report, **counters}
+
+
+# --------------------------------------------------------------------------
+# reproducible dataset assembly: hash splits + deterministic epoch order
+# --------------------------------------------------------------------------
+
+SPLIT_MOD = 1_000_000
+
+
+def split_hash(key_col, seed: int = 42):
+    """Engine-portable per-key hash in [0, SPLIT_MOD): first 12 hex digits
+    of md5(key ":" seed) — identical in Spark and DuckDB (`('0x' || h)::
+    BIGINT`), so split assignment is reproducible across engines, runs,
+    and cluster sizes (a row's split NEVER depends on partitioning)."""
+    k = F.col(key_col) if isinstance(key_col, str) else key_col
+    h = F.conv(F.substring(F.md5(F.concat_ws(":", k, F.lit(str(seed)))),
+                           1, 12), 16, 10).cast("bigint")
+    return h % SPLIT_MOD
+
+
+def hash_split(df: DataFrame, weights: dict[str, float],
+               key_col: str = "doc_id", seed: int = 42) -> DataFrame:
+    """Add a ``split`` column assigning each row to a named fraction by
+    thresholding :func:`split_hash` against cumulative weights — the
+    reproducible (key-deterministic) alternative to randomSplit: adding
+    or removing OTHER rows never moves a row between splits."""
+    if not weights or abs(sum(weights.values()) - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1 (got {weights})")
+    h = split_hash(key_col, seed)
+    names = list(weights)
+    col, acc = None, 0.0
+    for name in names[:-1]:
+        acc += weights[name]
+        t = int(round(acc * SPLIT_MOD))
+        col = F.when(h < t, name) if col is None else col.when(h < t, name)
+    col = (F.lit(names[0]) if col is None
+           else col.otherwise(names[-1]))
+    return df.withColumn("split", col)
+
+
+def epoch_order(df: DataFrame, key_col: str = "doc_id",
+                seed: int = 0) -> DataFrame:
+    """Deterministic per-epoch global shuffle: total order by a seeded
+    per-key hash (key itself as tie-break). Different seeds give
+    independent permutations; the same seed always replays the same order
+    — a distributed sort (range shuffle), the correct plan for writing
+    training shards in order at any scale."""
+    return df.orderBy(split_hash(key_col, seed), F.col(key_col))

@@ -1,6 +1,7 @@
 """Curation funnel tests: profile → quality filter → dedup → tokenize →
 encode, counters monotone, survivors verified bit-identical in the store."""
 
+import pytest
 import shutil
 import tempfile
 
@@ -47,3 +48,39 @@ def test_curate_lang_filter(spark):
         assert rep["n_quality"] == want
     finally:
         shutil.rmtree(dst, ignore_errors=True)
+
+
+def test_hash_split_deterministic_and_partition_invariant(spark):
+    from plc.curate import hash_split
+
+    df = spark.range(4000).select(
+        F.format_string("doc-%06d", "id").alias("doc_id"))
+    w = {"train": 0.9, "val": 0.05, "test": 0.05}
+    a = {r["doc_id"]: r["split"] for r in hash_split(df, w).collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in hash_split(df.repartition(13), w).collect()}
+    assert a == b  # split never depends on partitioning
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert set(c) == {"train", "val", "test"}
+    assert abs(c["train"] / 4000 - 0.9) < 0.03
+    # key-determinism: dropping rows does not move survivors
+    half = {r["doc_id"]: r["split"]
+            for r in hash_split(df.limit(2000), w).collect()}
+    assert all(a[k] == v for k, v in half.items())
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(df, {"train": 0.5})
+
+
+def test_epoch_order_replayable_and_seed_independent(spark):
+    from plc.curate import epoch_order
+
+    df = spark.range(500).select(
+        F.format_string("doc-%06d", "id").alias("doc_id"))
+    e0 = [r["doc_id"] for r in epoch_order(df, seed=0).collect()]
+    e0b = [r["doc_id"] for r in epoch_order(df.repartition(7), seed=0)
+           .collect()]
+    e1 = [r["doc_id"] for r in epoch_order(df, seed=1).collect()]
+    assert e0 == e0b              # same seed replays exactly
+    assert sorted(e0) == sorted(e1) and e0 != e1   # new permutation
