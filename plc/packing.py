@@ -4,7 +4,9 @@ pretraining corpus; BASELINE.json's "pre-tokenized training sequences"
 are exactly the input).
 
 Semantics (deterministic, engine-portable): concatenate every document's
-tokens in ``doc_id`` order into one logical stream, then slice the stream
+tokens in ``doc_id`` order (``doc_id`` must be unique — the engine's input
+contract — or the tie order, and with it the packed layout, is undefined)
+into one logical stream, then slice the stream
 into consecutive windows of ``seq_len`` tokens. A document that straddles
 a window boundary is split across the adjacent examples (standard packing
 — no padding waste; the final example may be short). Because the order is

@@ -105,3 +105,30 @@ def test_pack_on_parquet_tokens(spark):
     total = df.agg(F.sum(F.size("tokens"))).collect()[0][0]
     assert st["total_tokens"] == total
     assert ex.agg(F.sum("n_tokens")).collect()[0][0] == total
+
+
+def test_pack_invariant_to_bucket_count(spark, tokens_df):
+    """The packed stream is a pure function of the data — num_buckets (the
+    parallelism knob) must not change a single token."""
+    a = pack_sequences(tokens_df, L, num_buckets=2).orderBy("example_id") \
+        .collect()
+    b = pack_sequences(tokens_df, L, num_buckets=16).orderBy("example_id") \
+        .collect()
+    assert [(r["example_id"], r["tokens"]) for r in a] == \
+        [(r["example_id"], r["tokens"]) for r in b]
+
+
+def test_packed_examples_encode_through_store(spark, tokens_df):
+    """Composability: packed examples are themselves an engine-shaped
+    table (key + token array) and round-trip through the chunk store."""
+    from plc.pipeline import PipelineConfig, encode, verify
+
+    ex = (pack_sequences(tokens_df, L, num_buckets=8)
+          .select(F.format_string("ex-%012d", "example_id").alias("doc_id"),
+                  "tokens", F.size("tokens").alias("n_tok")))
+    dst = tempfile.mkdtemp(prefix="plc_pack_store_")
+    encode(spark, ex, dst,
+           PipelineConfig(num_partitions=2, straggler_parts=0),
+           mode="overwrite")
+    res = verify(spark, ex, dst)
+    assert res["mismatches"] == 0, res
