@@ -973,18 +973,21 @@ def oracle_sql() -> dict[str, str]:
                                   ORDER BY doc_id
                                   ROWS BETWEEN UNBOUNDED PRECEDING
                                   AND 1 PRECEDING) AS BIGINT), 0) AS s
-                       FROM tv)
-            SELECT CAST(sum(n_tok) AS BIGINT) AS total_tokens,
-                   CAST(ceil(CAST(sum(n_tok) AS DOUBLE) / 2048) AS BIGINT)
-                       AS n_examples,
-                   CAST(sum(CASE WHEN n_tok > 0
-                                 AND (s + n_tok - 1) // 2048 > s // 2048
-                            THEN 1 ELSE 0 END) AS BIGINT)
-                       AS n_boundary_docs,
-                   round(CAST(sum(n_tok) AS DOUBLE)
-                         / (ceil(CAST(sum(n_tok) AS DOUBLE) / 2048) * 2048),
+                       FROM tv),
+                 t AS (SELECT CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+                              CAST(sum(CASE WHEN n_tok > 0
+                                            AND (s + n_tok - 1) // 2048
+                                                > s // 2048
+                                       THEN 1 ELSE 0 END) AS BIGINT)
+                                  AS n_boundary_docs
+                       FROM o)
+            SELECT total_tokens,
+                   (total_tokens + 2047) // 2048 AS n_examples,
+                   n_boundary_docs,
+                   round(CAST(total_tokens AS DOUBLE)
+                         / (((total_tokens + 2047) // 2048) * 2048),
                          6) AS fill_ratio
-            FROM o
+            FROM t
         """,
         "point_lookup": f"""
             WITH tv AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,

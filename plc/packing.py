@@ -41,11 +41,15 @@ def global_offsets(df: DataFrame, key_col: str = "doc_id",
                    num_buckets: int = 64) -> DataFrame:
     """Add ``_start`` = exclusive prefix sum of ``weight_col`` over global
     ``key_col`` order, without a single-partition window: range-bucket,
-    per-bucket cumsum, O(buckets) driver prefix merge."""
-    d = (df.repartitionByRange(num_buckets, key_col)
+    per-bucket cumsum, O(buckets) driver prefix merge. NULL weights count
+    as 0 (a NULL must not poison the cumsum or the driver merge)."""
+    d = (df.withColumn(weight_col,
+                       F.coalesce(F.col(weight_col).cast("bigint"),
+                                  F.lit(0)))
+         .repartitionByRange(num_buckets, key_col)
          .withColumn("_pid", F.spark_partition_id())
          .localCheckpoint())  # freeze pid assignment across the two jobs
-    totals = {r["_pid"]: r["t"] for r in
+    totals = {r["_pid"]: r["t"] or 0 for r in
               d.groupBy("_pid").agg(F.sum(weight_col).alias("t")).collect()}
     prefix, acc = {}, 0
     for pid in sorted(totals):
@@ -60,6 +64,13 @@ def global_offsets(df: DataFrame, key_col: str = "doc_id",
         (cum - F.col(weight_col)
          + F.coalesce(pre[F.col("_pid")], F.lit(0))).cast("bigint"))
         .drop("_pid"))
+
+
+def _null_safe_size(tokens_col: str) -> Column:
+    """len(tokens) with NULL arrays counting 0 — Spark's non-ANSI
+    size(NULL) is -1, which would silently shift every later offset."""
+    c = F.col(tokens_col)
+    return F.when(c.isNull(), F.lit(0)).otherwise(F.size(c))
 
 
 def _example_spans(seq_len: int):
@@ -81,7 +92,7 @@ def pack_sequences(df: DataFrame, seq_len: int, *,
     if seq_len <= 0:
         raise ValueError(f"seq_len must be positive (got {seq_len})")
     d = global_offsets(df.select(key_col, tokens_col,
-                                 F.size(tokens_col).alias("n_tok")),
+                                 _null_safe_size(tokens_col).alias("n_tok")),
                        key_col, "n_tok", num_buckets=num_buckets)
     first_e, last_e = _example_spans(seq_len)
     d = (d.filter(F.col("n_tok") > 0)
@@ -116,7 +127,7 @@ def packing_stats(df: DataFrame, seq_len: int, *,
     if seq_len <= 0:
         raise ValueError(f"seq_len must be positive (got {seq_len})")
     d = global_offsets(df.select(key_col,
-                                 F.size(tokens_col).alias("n_tok")),
+                                 _null_safe_size(tokens_col).alias("n_tok")),
                        key_col, "n_tok", num_buckets=num_buckets)
     first_e, last_e = _example_spans(seq_len)
     straddles = F.when((F.col("n_tok") > 0) & (last_e > first_e), 1) \
@@ -124,7 +135,9 @@ def packing_stats(df: DataFrame, seq_len: int, *,
     return (d.agg(F.sum(F.col("n_tok").cast("bigint")).alias("total_tokens"),
                   F.sum(straddles).cast("bigint").alias("n_boundary_docs"))
             .select("total_tokens", "n_boundary_docs",
-                    F.ceil(F.col("total_tokens") / seq_len).cast("bigint")
+                    # integer div, like _example_spans: a double ceil goes
+                    # inexact past 2^53 total tokens
+                    F.expr(f"(total_tokens + {seq_len} - 1) div {seq_len}")
                     .alias("n_examples"))
             .select("total_tokens", "n_examples", "n_boundary_docs",
                     F.round(F.col("total_tokens")

@@ -766,7 +766,10 @@ def _bloom_probe_expr(value: str):
         # for b<8 and stays a pure Column expression
         mask = F.pow(F.lit(2.0), (pos % 8).cast("double")).cast("int")
         cond = cond & (bval.bitwiseAND(mask) != 0)
-    return b64.isNull() | m.isNull() | (k != F.lit(_BLOOM_K)) | cond
+    # k.isNull() must be explicit: NULL != 7 is NULL, and a NULL
+    # disjunct would let filter() treat the whole survival test as false
+    return (b64.isNull() | m.isNull() | k.isNull()
+            | (k != F.lit(_BLOOM_K)) | cond)
 
 
 def _temporal_us(v) -> float:
