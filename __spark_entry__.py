@@ -259,7 +259,7 @@ def _format_read_agg(spark, sf):
     dst = tempfile.mkdtemp(prefix="plc_qfmt_")
     encode(spark, src, dst,
            PipelineConfig(num_partitions=4, straggler_parts=0,
-                          max_chunk_values=20_000), mode="overwrite")
+                          max_chunk_values=1_000_000), mode="overwrite")
     register(spark)
     df = spark.read.format("plc").load(dst)
     return (df.where(F.col("n_tok") > 10)
