@@ -253,9 +253,12 @@ def main() -> None:
         def _wait_quiet(max_wait: float = 180.0) -> float:
             # external tenants on this box spin the 4-thread JVM's CPU
             # clock as well as wall; a load-gate before each sample keeps
-            # a passing window reachable without unbounded runtime
+            # a passing window reachable without unbounded runtime.
+            # Threshold 5 (~16% of 32 CPUs): one contended window measured
+            # cpu-efficiency 0.72 at loadavg ~4-6 vs 0.83-1.0 quiet, so
+            # gating at 8 was demonstrably too permissive
             waited = 0.0
-            while os.getloadavg()[0] > 8 and waited < max_wait:
+            while os.getloadavg()[0] > 5 and waited < max_wait:
                 time.sleep(10)
                 waited += 10
             return waited
