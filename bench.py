@@ -149,8 +149,11 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    # headline: encode at the configured parallelism
-    main_run = _bench_encode(f"local[{CPUS}]", src_path, n_parts, raw_bytes)
+    # headline: encode at the configured parallelism — best-of-2 (fresh
+    # session each), same tenant-burst guard the decode legs already use
+    main_run = min((_bench_encode(f"local[{CPUS}]", src_path, n_parts,
+                                  raw_bytes) for _ in range(2)),
+                   key=lambda r: r["wall_sec"])
     timings["encode"] = main_run["wall_sec"]
     timings["encode_data_path"] = main_run["data_path_sec"]
     # secondary: shuffle-free path for doc_id-clustered inputs (e.g. sorted
