@@ -871,6 +871,11 @@ _BLOOM_M = (1 << 31) - 1
 _BLOOM_B1 = 1_000_003
 _BLOOM_B2 = 10_007
 _BLOOM_SCAN_CAP = 256  # bytes hashed per value; total length mixed in last
+# hash-algorithm version, stored as bloom_v and REQUIRED by both probes: a
+# bloom built by a different hash generation must fall back to
+# always-survive, never be bit-tested (a silent false negative would drop
+# a chunk a point decode needs). Bump when the hash arithmetic changes.
+_BLOOM_V = 2
 
 
 def _bloom_hashes(v: str) -> tuple[int, int]:
@@ -891,7 +896,8 @@ def _bloom_hash_arrays(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     loop over the flat utf8 buffer (iterations = min(max len, cap), each
     one vectorized over every still-active value; no per-value Python)."""
     lengths, flat = _string_planes(arr)
-    flat = flat.astype(np.int64)
+    # flat stays uint8: the per-iteration indexed slice promotes to int64
+    # in the accumulate expression, avoiding an 8x whole-buffer transient
     offs = np.zeros(lengths.size + 1, np.int64)
     np.cumsum(lengths, out=offs[1:])
     cap = np.minimum(lengths, _BLOOM_SCAN_CAP)
@@ -900,7 +906,7 @@ def _bloom_hash_arrays(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     starts = offs[:-1]
     for j in range(int(cap.max()) if cap.size else 0):
         act = cap > j
-        byte = flat[starts[act] + j]
+        byte = flat[starts[act] + j].astype(np.int64)
         h1[act] = (h1[act] * _BLOOM_B1 + byte + 1) % _BLOOM_M
         h2[act] = (h2[act] * _BLOOM_B2 + byte + 1) % _BLOOM_M
     h1 = (h1 * _BLOOM_B1 + lengths % _BLOOM_M + 1) % _BLOOM_M
@@ -933,7 +939,7 @@ def _bloom_build(col: pa.Array, bits_per_key: int = 10) -> dict | None:
     bits[pos.ravel()] = True
     packed = np.packbits(bits, bitorder="little")
     return {"bloom": base64.b64encode(packed.tobytes()).decode("ascii"),
-            "bloom_m": m, "bloom_k": _BLOOM_K}
+            "bloom_m": m, "bloom_k": _BLOOM_K, "bloom_v": _BLOOM_V}
 
 
 def bloom_might_contain(st: dict, value: str) -> bool:
@@ -942,7 +948,7 @@ def bloom_might_contain(st: dict, value: str) -> bool:
     import base64
 
     b64, m, k = st.get("bloom"), st.get("bloom_m"), st.get("bloom_k")
-    if not b64 or not m or k != _BLOOM_K:
+    if not b64 or not m or k != _BLOOM_K or st.get("bloom_v") != _BLOOM_V:
         return True
     bits = np.frombuffer(base64.b64decode(b64), dtype=np.uint8)
     h1, h2 = _bloom_hashes(value)

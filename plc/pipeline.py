@@ -750,12 +750,13 @@ def _bloom_probe_expr(value: str):
     hex/conv bit test), no Python in the pruning scan. Chunks without a
     bloom (or with foreign parameters) always survive; false positives are
     settled by decode()'s exact row filter."""
-    from plc.chunk import _BLOOM_K, _bloom_hashes
+    from plc.chunk import _BLOOM_K, _BLOOM_V, _bloom_hashes
 
     h1, h2 = _bloom_hashes(value)
     b64 = F.get_json_object("stats", "$.doc_id.bloom")
     m = F.get_json_object("stats", "$.doc_id.bloom_m").cast("bigint")
     k = F.get_json_object("stats", "$.doc_id.bloom_k").cast("int")
+    v = F.get_json_object("stats", "$.doc_id.bloom_v").cast("int")
     bits = F.unbase64(b64)
     cond = F.lit(True)
     for i in range(_BLOOM_K):
@@ -766,10 +767,12 @@ def _bloom_probe_expr(value: str):
         # for b<8 and stays a pure Column expression
         mask = F.pow(F.lit(2.0), (pos % 8).cast("double")).cast("int")
         cond = cond & (bval.bitwiseAND(mask) != 0)
-    # k.isNull() must be explicit: NULL != 7 is NULL, and a NULL
-    # disjunct would let filter() treat the whole survival test as false
-    return (b64.isNull() | m.isNull() | k.isNull()
-            | (k != F.lit(_BLOOM_K)) | cond)
+    # k/v.isNull() must be explicit: NULL != 7 is NULL, and a NULL
+    # disjunct would let filter() treat the whole survival test as false;
+    # a bloom from a different hash generation (bloom_v mismatch, e.g. a
+    # store written by older code) must survive, never be bit-tested
+    return (b64.isNull() | m.isNull() | k.isNull() | v.isNull()
+            | (k != F.lit(_BLOOM_K)) | (v != F.lit(_BLOOM_V)) | cond)
 
 
 def _temporal_us(v) -> float:

@@ -404,3 +404,19 @@ def test_doc_id_bloom_stats():
     assert "bloom" not in st3 and bloom_might_contain(st3, "anything")
     off = column_stats(batch, bloom_bits_per_key=0)["doc_id"]
     assert "bloom" not in off
+
+
+def test_bloom_version_gate():
+    """A bloom from a different hash generation (bloom_v mismatch or
+    absent, e.g. a store written by older code) must always survive the
+    probe — bit-testing it with the current hash would produce silent
+    false negatives on present keys."""
+    from plc.chunk import _BLOOM_V, _bloom_build, bloom_might_contain
+
+    st = _bloom_build(pa.array(["alpha", "beta"]))
+    assert st["bloom_v"] == _BLOOM_V
+    assert not bloom_might_contain(st, "gamma")  # current version: prunes
+    stale = {**st, "bloom_v": _BLOOM_V - 1}
+    assert bloom_might_contain(stale, "gamma")   # foreign version: survives
+    legacy = {k: v for k, v in st.items() if k != "bloom_v"}
+    assert bloom_might_contain(legacy, "gamma")  # pre-versioning: survives

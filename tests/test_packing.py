@@ -132,3 +132,24 @@ def test_packed_examples_encode_through_store(spark, tokens_df):
            mode="overwrite")
     res = verify(spark, ex, dst)
     assert res["mismatches"] == 0, res
+
+
+def test_null_tokens_and_weights_pack_safely(spark):
+    """NULL token arrays count 0 tokens (Spark's size(NULL) is -1 — an
+    unguarded cumsum would shift every later offset) and NULL weights
+    cannot poison global_offsets' driver merge."""
+    rows = [("doc-0", [1, 2, 3]), ("doc-1", None), ("doc-2", [4, 5]),
+            ("doc-3", None), ("doc-4", [6])]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    ex = pack_sequences(df, 4, num_buckets=2).orderBy("example_id").collect()
+    got = [t for r in ex for t in r["tokens"]]
+    assert got == [1, 2, 3, 4, 5, 6]
+    st = packing_stats(df, 4, num_buckets=2).collect()[0]
+    assert st["total_tokens"] == 6 and st["n_examples"] == 2
+    # NULL weights into global_offsets directly (all-NULL bucket)
+    w = spark.createDataFrame(
+        [("a", None), ("b", 2), ("c", None)], "doc_id string, w int")
+    offs = {r["doc_id"]: r["_start"]
+            for r in global_offsets(w, "doc_id", "w",
+                                    num_buckets=2).collect()}
+    assert offs == {"a": 0, "b": 0, "c": 2}
