@@ -509,6 +509,58 @@ def _hash_split_sql() -> str:
     """
 
 
+def _decontamination_stats(spark, sf):
+    """Benchmark decontamination over the tokens view: docs whose id ends
+    in 7 play the benchmark; every training doc sharing ANY 13-gram with
+    it is dropped (plc.dedup.decontaminate — exploded-shingle semi-join,
+    never a pair product). The oracle regenerates the per-step-modulus
+    shingles at k=13 and counts the same sets."""
+    from plc.dedup import decontaminate
+
+    tv = tokens_view(spark, sf)
+    is_bench = F.col("doc_id").cast("int") % 10 == F.lit(7)
+    bench = tv.filter(is_bench)
+    train = tv.filter(~is_bench)
+    kept = decontaminate(train, bench, shingle_k=13)
+    return (train.agg(F.count("*").alias("n_train"))
+            .crossJoin(bench.agg(F.count("*").alias("n_bench")))
+            .crossJoin(kept.agg(F.count("*").alias("n_kept")))
+            .select("n_train", "n_bench", "n_kept",
+                    (F.col("n_train") - F.col("n_kept")).cast("bigint")
+                    .alias("n_contaminated")))
+
+
+def _decontamination_sql(shingle_k: int = 13) -> str:
+    from plc.dedup import SHINGLE_MOD, shingle_weights
+
+    acc = "CAST(0 AS BIGINT)"
+    for j, w in enumerate(shingle_weights(shingle_k)):
+        # per-step modulus, mirroring _shingle_arrays: partial sums never
+        # exceed 2^61 + SHINGLE_MOD for any k
+        acc = (f"(({acc}) + CAST(tokens[i+{j + 1}] AS BIGINT) * {w}) "
+               f"% {SHINGLE_MOD}")
+    shingle = (f"list_transform(range(greatest(len(tokens) - "
+               f"{shingle_k - 1}, 0)), i -> {acc})")
+    return f"""
+        WITH tv AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                           CAST(doc_id AS INT) % 10 = 7 AS is_bench,
+                           {_TOKENS_SQL} AS tokens
+                    FROM documents),
+             sh AS (SELECT doc_id, is_bench, {shingle} AS shl FROM tv),
+             bsh AS (SELECT DISTINCT s FROM
+                     (SELECT unnest(shl) AS s FROM sh WHERE is_bench)),
+             hit AS (SELECT DISTINCT doc_id FROM
+                     (SELECT doc_id, unnest(shl) AS s FROM sh
+                      WHERE NOT is_bench) t
+                     JOIN bsh USING (s))
+        SELECT (SELECT count(*) FROM sh WHERE NOT is_bench) AS n_train,
+               (SELECT count(*) FROM sh WHERE is_bench) AS n_bench,
+               (SELECT count(*) FROM sh WHERE NOT is_bench)
+                   - (SELECT count(*) FROM hit) AS n_kept,
+               (SELECT count(*) FROM hit) AS n_contaminated
+    """
+
+
 def _packing_stats(spark, sf):
     """Sequence packing plan over the tokens view: concatenate docs in
     doc_id order, slice into 2048-token training examples (standard
@@ -842,6 +894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encode_embeddings": _encode_embeddings,
         "curate_corpus": _curate_corpus,
         "packing_stats": _packing_stats,
+        "decontamination_stats": _decontamination_stats,
         "hash_split_counts": _hash_split_counts,
         "point_lookup": _point_lookup,
         "encode_events": _encode_events,
@@ -963,6 +1016,7 @@ def oracle_sql() -> dict[str, str]:
                        AS n_dup_rows
             FROM documents GROUP BY source
         """,
+        "decontamination_stats": _decontamination_sql(),
         "hash_split_counts": _hash_split_sql(),
         "packing_stats": f"""
             WITH tv AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,

@@ -303,6 +303,31 @@ def jaccard_verify(pairs: DataFrame, df: DataFrame, key_col: str,
             .filter(F.col("jaccard") >= threshold))
 
 
+def decontaminate(df: DataFrame, benchmark: DataFrame,
+                  key_col: str = "doc_id", tokens_col: str = "tokens",
+                  shingle_k: int = 13) -> DataFrame:
+    """Benchmark decontamination: drop every row of ``df`` that shares ANY
+    ``shingle_k``-token n-gram with the ``benchmark`` corpus — the
+    standard eval-leakage guard for a pretraining corpus (13-gram overlap
+    is the widely used criterion).
+
+    Scale shape: the benchmark's distinct shingles are one (small) side of
+    a semi-join against the training side's exploded shingles — the join
+    shuffles on the shingle value (or broadcasts when the benchmark is
+    tiny), never materializes pairs, and the final anti-join removes
+    contaminated keys. Docs shorter than ``shingle_k`` tokens have no
+    shingles and are never flagged. The shingle arithmetic is the same
+    per-step-modulus kernel the MinHash path uses, so a SQL oracle can
+    regenerate it bit-identically at any k."""
+    bad = (shingle_sets(benchmark, key_col, tokens_col, shingle_k)
+           .select(F.explode("sh").alias("s")).distinct())
+    hits = (shingle_sets(df, key_col, tokens_col, shingle_k)
+            .select("k", F.explode("sh").alias("s"))
+            .join(bad, "s", "left_semi")
+            .select(F.col("k").alias(key_col)).distinct())
+    return df.join(hits, key_col, "left_anti")
+
+
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------

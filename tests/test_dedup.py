@@ -206,3 +206,24 @@ def test_simhash_input_guards(spark):
                                 "doc_id string, tokens array<int>")
     with pytest.raises(Exception, match="non-negative"):
         simhash_sigs(bad, "doc_id", bits=32).collect()
+
+
+def test_decontaminate_planted_overlap(spark):
+    """A training doc embedding a benchmark 13-gram anywhere inside it is
+    removed; docs without overlap (or shorter than k) survive."""
+    from plc.dedup import decontaminate
+
+    bench_seq = list(range(100, 113))          # the protected 13-gram
+    rows = [
+        ("t-clean", [1] * 30),                 # no overlap
+        ("t-short", bench_seq[:12]),           # < k tokens: never flagged
+        ("t-exact", list(bench_seq)),          # the benchmark verbatim
+        ("t-embed", [7] * 5 + bench_seq + [9] * 4),  # embedded mid-doc
+        ("t-partial", bench_seq[:12] + [999]),  # 12 of 13 then diverges
+    ]
+    train = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    bench = spark.createDataFrame([("b-0", bench_seq + [55] * 3)],
+                                  "doc_id string, tokens array<int>")
+    kept = {r["doc_id"]
+            for r in decontaminate(train, bench, shingle_k=13).collect()}
+    assert kept == {"t-clean", "t-short", "t-partial"}
