@@ -27,11 +27,17 @@ def curate(spark: SparkSession, documents: DataFrame, dst: str, *,
            quality_min: float = 0.4, lang_keep: tuple | None = None,
            near_dup_threshold: float = 0.7, num_hashes: int = 8,
            bands: int = 4, seed: int = 42, cfg=None,
+           benchmark: DataFrame | None = None, decontam_k: int = 13,
            mode: str = "error") -> dict:
     """Run the full curation funnel over a ``documents``-shaped table
     (doc_id, text, source, ...) and encode the surviving tokens into
-    ``dst``. Returns the encode report plus per-stage counters."""
-    from plc.dedup import dedup_minhash
+    ``dst``. Returns the encode report plus per-stage counters.
+
+    ``benchmark`` (optional, tokens-shaped: doc_id + tokens) switches on
+    the eval-leakage guard: after dedup, any surviving doc sharing a
+    ``decontam_k``-gram with the benchmark is dropped
+    (:func:`plc.dedup.decontaminate`)."""
+    from plc.dedup import decontaminate, dedup_minhash
     from plc.pipeline import PipelineConfig, encode
     from plc.textstats import text_profile, tokens_table
 
@@ -54,6 +60,12 @@ def curate(spark: SparkSession, documents: DataFrame, dst: str, *,
     # pipeline would re-execute for each of those actions
     deduped = deduped.localCheckpoint()
     counters["n_deduped"] = deduped.count()
+
+    if benchmark is not None:
+        deduped = decontaminate(deduped, benchmark, "doc_id", "tokens",
+                                shingle_k=decontam_k).localCheckpoint()
+        counters["n_decontaminated"] = counters["n_deduped"] \
+            - deduped.count()
 
     report = encode(spark, deduped, dst,
                     cfg or PipelineConfig(num_partitions=8,

@@ -84,3 +84,25 @@ def test_epoch_order_replayable_and_seed_independent(spark):
     e1 = [r["doc_id"] for r in epoch_order(df, seed=1).collect()]
     assert e0 == e0b              # same seed replays exactly
     assert sorted(e0) == sorted(e1) and e0 != e1   # new permutation
+
+
+def test_curate_with_benchmark_decontamination(spark):
+    """curate(benchmark=...) drops surviving docs that leak a benchmark
+    n-gram and reports the stage counter; without a benchmark the counter
+    is absent and the funnel is unchanged."""
+    import tempfile
+
+    from plc.textstats import tokens_table
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .limit(120).cache())
+    bench = tokens_table(docs.orderBy("doc_id").limit(5))
+    d1 = tempfile.mkdtemp(prefix="plc_cur_dec_")
+    rep = curate(spark, docs, d1, quality_min=0.0, benchmark=bench,
+                 decontam_k=13, mode="overwrite")
+    assert "n_decontaminated" in rep
+    assert 0 < rep["n_decontaminated"] <= rep["n_deduped"]
+    d2 = tempfile.mkdtemp(prefix="plc_cur_nodec_")
+    rep2 = curate(spark, docs, d2, quality_min=0.0, mode="overwrite")
+    assert "n_decontaminated" not in rep2
+    assert rep["n_deduped"] == rep2["n_deduped"]
