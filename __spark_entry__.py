@@ -530,17 +530,30 @@ def _decontamination_stats(spark, sf):
                     .alias("n_contaminated")))
 
 
-def _decontamination_sql(shingle_k: int = 13) -> str:
-    from plc.dedup import SHINGLE_MOD, shingle_weights
+def _shingle_acc_sql(k: int, base=None, tail=None) -> str:
+    """Per-step-modulus shingle accumulator over ``tokens[i+1..i+k]`` —
+    ONE generator for every oracle that needs kernel-identical shingles
+    (MinHash k=3, decontamination k=13 two-plane)."""
+    from plc.dedup import SHINGLE_MOD, _W1, _W2, shingle_weights
 
+    ws = shingle_weights(k, base if base is not None else _W1,
+                         tail if tail is not None else _W2)
     acc = "CAST(0 AS BIGINT)"
-    for j, w in enumerate(shingle_weights(shingle_k)):
+    for j, w in enumerate(ws):
         # per-step modulus, mirroring _shingle_arrays: partial sums never
         # exceed 2^61 + SHINGLE_MOD for any k
         acc = (f"(({acc}) + CAST(tokens[i+{j + 1}] AS BIGINT) * {w}) "
                f"% {SHINGLE_MOD}")
+    return acc
+
+
+def _decontamination_sql(shingle_k: int = 13) -> str:
+    from plc.dedup import SHINGLE_MOD, _W1B, _W2B
+
+    wide = (f"(({_shingle_acc_sql(shingle_k)}) * {SHINGLE_MOD} "
+            f"+ ({_shingle_acc_sql(shingle_k, _W1B, _W2B)}))")
     shingle = (f"list_transform(range(greatest(len(tokens) - "
-               f"{shingle_k - 1}, 0)), i -> {acc})")
+               f"{shingle_k - 1}, 0)), i -> {wide})")
     return f"""
         WITH tv AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
                            CAST(doc_id AS INT) % 10 = 7 AS is_bench,
@@ -637,14 +650,10 @@ _TOKENS_SQL = ("list_transform(list_filter(string_split(text, ' '), "
 
 
 def _minhash_pairs_sql() -> str:
-    from plc.dedup import (BAND_MOD, MERSENNE_P, SHINGLE_MOD, hash_params,
-                           shingle_weights)
+    from plc.dedup import BAND_MOD, MERSENNE_P, hash_params
 
-    ws = shingle_weights(3)
     shingle = (f"list_transform(range(greatest(len(tokens) - 2, 0)), i -> "
-               f"(CAST(tokens[i+1] AS BIGINT) * {ws[0]} + "
-               f"CAST(tokens[i+2] AS BIGINT) * {ws[1]} + "
-               f"CAST(tokens[i+3] AS BIGINT) * {ws[2]}) % {SHINGLE_MOD})")
+               f"{_shingle_acc_sql(3)})")
     sig_elems = ", ".join(
         f"coalesce(list_min(list_transform(sh, s -> (s * {a} + {b}) % "
         f"{MERSENNE_P})), {MERSENNE_P})" for a, b in hash_params(8, 42))

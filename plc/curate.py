@@ -64,8 +64,9 @@ def curate(spark: SparkSession, documents: DataFrame, dst: str, *,
     if benchmark is not None:
         deduped = decontaminate(deduped, benchmark, "doc_id", "tokens",
                                 shingle_k=decontam_k).localCheckpoint()
-        counters["n_decontaminated"] = counters["n_deduped"] \
-            - deduped.count()
+        # survivor count, like every other funnel counter (dropped rows
+        # are n_deduped - n_clean)
+        counters["n_clean"] = deduped.count()
 
     report = encode(spark, deduped, dst,
                     cfg or PipelineConfig(num_partitions=8,

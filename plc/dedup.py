@@ -33,6 +33,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 MERSENNE_P = 4_294_967_291        # largest 32-bit prime
 SHINGLE_MOD = 1 << 30
 _W1, _W2 = 1_299_721, 31_337      # shingle mixing weights (primes)
+_W1B, _W2B = 2_750_159, 104_729   # second-plane bases (wide shingles)
 
 
 def hash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
@@ -80,11 +81,13 @@ def exact_dedup_stats(df: DataFrame, content_col: str, key_col: str,
 # --------------------------------------------------------------------------
 
 
-def shingle_weights(k: int) -> list[int]:
+def shingle_weights(k: int, base: int = _W1, tail: int = _W2,
+                    modulus: int = SHINGLE_MOD) -> list[int]:
     """Mixing weight of token position j inside a k-shingle — exposed so
-    SQL oracles can regenerate shingles bit-identically."""
-    return [pow(_W1, k - 1 - j, SHINGLE_MOD) if j < k - 1
-            else _W2 % SHINGLE_MOD for j in range(k)]
+    SQL oracles can regenerate shingles bit-identically. ``base``/``tail``
+    select the hash plane (defaults = the MinHash plane)."""
+    return [pow(base, k - 1 - j, modulus) if j < k - 1
+            else tail % modulus for j in range(k)]
 
 
 def shingle_col(tokens_col: str | Column, k: int = 3,
@@ -141,7 +144,8 @@ def lsh_band_keys(sig: Column, bands: int, rows: int) -> Column:
     return F.array(*keys)
 
 
-def _shingle_arrays(batch, tokens_col: str, k: int, modulus: int):
+def _shingle_arrays(batch, tokens_col: str, k: int, modulus: int,
+                    weights: list[int] | None = None):
     """Vectorized shingle hashes for a whole Arrow batch: returns
     (sh_values int64 ordered by row, per-row shingle offsets int64[n+1])."""
     import pyarrow as pa
@@ -152,7 +156,7 @@ def _shingle_arrays(batch, tokens_col: str, k: int, modulus: int):
                             count=len(toks) + 1, offset=toks.offset * 8)
     lens = np.diff(offsets)
     flat = toks.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
-    ws = shingle_weights(k)
+    ws = weights if weights is not None else shingle_weights(k)
     n = flat.size
     if n >= k:
         # modulus per accumulation step, mirroring shingle_col: the partial
@@ -303,6 +307,39 @@ def jaccard_verify(pairs: DataFrame, df: DataFrame, key_col: str,
             .filter(F.col("jaccard") >= threshold))
 
 
+def wide_shingles(df: DataFrame, key_col: str, tokens_col: str = "tokens",
+                  shingle_k: int = 13) -> DataFrame:
+    """(key, s) exploded ~60-bit shingle ids: TWO independent hash planes
+    (separate prime bases, same per-step-modulus kernel) combined as
+    ``plane1 · 2^30 + plane2``. MinHash's single 2^30 plane is a sketch
+    space where collisions are harmless; EXACT n-gram membership
+    (decontamination) needs a collision-safe id — at 2^30, a realistic
+    benchmark (~5M distinct n-grams) would falsely flag essentially every
+    long training doc (P ≈ 1−e^(−B·s/2^30)); at ~2^60 the expected false
+    flags are ~10^-8 per doc."""
+    from plc.util import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+    w2 = shingle_weights(shingle_k, _W1B, _W2B)
+
+    def run(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            s1, off = _shingle_arrays(batch, tokens_col, shingle_k,
+                                      SHINGLE_MOD)
+            s2, _ = _shingle_arrays(batch, tokens_col, shingle_k,
+                                    SHINGLE_MOD, weights=w2)
+            s = s1 * np.int64(SHINGLE_MOD) + s2
+            keys = batch.column(key_col).cast(pa.string())
+            idx = pa.array(np.repeat(np.arange(len(batch)), np.diff(off)))
+            yield pa.RecordBatch.from_arrays(
+                [keys.take(idx), pa.array(s, pa.int64())], names=["k", "s"])
+
+    return df.select(key_col, tokens_col).mapInArrow(run,
+                                                     "k string, s bigint")
+
+
 def decontaminate(df: DataFrame, benchmark: DataFrame,
                   key_col: str = "doc_id", tokens_col: str = "tokens",
                   shingle_k: int = 13) -> DataFrame:
@@ -316,13 +353,12 @@ def decontaminate(df: DataFrame, benchmark: DataFrame,
     shuffles on the shingle value (or broadcasts when the benchmark is
     tiny), never materializes pairs, and the final anti-join removes
     contaminated keys. Docs shorter than ``shingle_k`` tokens have no
-    shingles and are never flagged. The shingle arithmetic is the same
-    per-step-modulus kernel the MinHash path uses, so a SQL oracle can
-    regenerate it bit-identically at any k."""
-    bad = (shingle_sets(benchmark, key_col, tokens_col, shingle_k)
-           .select(F.explode("sh").alias("s")).distinct())
-    hits = (shingle_sets(df, key_col, tokens_col, shingle_k)
-            .select("k", F.explode("sh").alias("s"))
+    shingles and are never flagged. Membership runs in the ~60-bit
+    :func:`wide_shingles` space (collision-safe, unlike MinHash's 2^30
+    sketch plane), and the arithmetic is SQL-regenerable at any k."""
+    bad = (wide_shingles(benchmark, key_col, tokens_col, shingle_k)
+           .select("s").distinct())
+    hits = (wide_shingles(df, key_col, tokens_col, shingle_k)
             .join(bad, "s", "left_semi")
             .select(F.col("k").alias(key_col)).distinct())
     return df.join(hits, key_col, "left_anti")

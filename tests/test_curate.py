@@ -100,9 +100,9 @@ def test_curate_with_benchmark_decontamination(spark):
     d1 = tempfile.mkdtemp(prefix="plc_cur_dec_")
     rep = curate(spark, docs, d1, quality_min=0.0, benchmark=bench,
                  decontam_k=13, mode="overwrite")
-    assert "n_decontaminated" in rep
-    assert 0 < rep["n_decontaminated"] <= rep["n_deduped"]
+    assert "n_clean" in rep
+    assert 0 <= rep["n_clean"] < rep["n_deduped"]  # dropped at least one
     d2 = tempfile.mkdtemp(prefix="plc_cur_nodec_")
     rep2 = curate(spark, docs, d2, quality_min=0.0, mode="overwrite")
-    assert "n_decontaminated" not in rep2
+    assert "n_clean" not in rep2
     assert rep["n_deduped"] == rep2["n_deduped"]

@@ -227,3 +227,35 @@ def test_decontaminate_planted_overlap(spark):
     kept = {r["doc_id"]
             for r in decontaminate(train, bench, shingle_k=13).collect()}
     assert kept == {"t-clean", "t-short", "t-partial"}
+
+
+def test_decontaminate_survives_narrow_hash_collision(spark):
+    """Regression (review finding): these two DIFFERENT 13-grams collide in
+    MinHash's 2^30 shingle plane (found by deterministic search). Exact
+    membership in that space would falsely drop the clean doc; the wide
+    two-plane (~2^60) shingle id must keep it."""
+    import pyarrow as pa
+
+    from plc.dedup import (SHINGLE_MOD, _W1B, _W2B, _shingle_arrays,
+                           decontaminate, shingle_weights)
+
+    a = [33496, 22633, 48264, 30086, 38260, 9159, 48610, 6043, 29473,
+         47129, 1749, 41983, 10285]
+    b = [36023, 35405, 13124, 17907, 27210, 22709, 46026, 42947, 26243,
+         3572, 26978, 21536, 8994]
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array(["a", "b"]), pa.array([a, b], pa.list_(pa.int32()))],
+        names=["doc_id", "tokens"])
+    n1, _ = _shingle_arrays(batch, "tokens", 13, SHINGLE_MOD)
+    assert a != b and n1[0] == n1[1]  # the collision this test pins
+    n2, _ = _shingle_arrays(batch, "tokens", 13, SHINGLE_MOD,
+                            weights=shingle_weights(13, _W1B, _W2B))
+    assert n2[0] != n2[1]
+
+    train = spark.createDataFrame([("t-clean", a), ("t-leak", b)],
+                                  "doc_id string, tokens array<int>")
+    bench = spark.createDataFrame([("bm", b)],
+                                  "doc_id string, tokens array<int>")
+    kept = {r["doc_id"]
+            for r in decontaminate(train, bench, shingle_k=13).collect()}
+    assert kept == {"t-clean"}
