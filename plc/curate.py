@@ -120,3 +120,40 @@ def epoch_order(df: DataFrame, key_col: str = "doc_id",
     — a distributed sort (range shuffle), the correct plan for writing
     training shards in order at any scale."""
     return df.orderBy(split_hash(key_col, seed), F.col(key_col))
+
+
+def prepare_training_set(spark: SparkSession, tokens_df: DataFrame,
+                         dst: str, *, seq_len: int = 2048,
+                         weights: dict[str, float] | None = None,
+                         seed: int = 42, num_buckets: int = 64,
+                         cfg=None, mode: str = "error") -> dict:
+    """The last mile from a curated tokens table to training-ready stores:
+    reproducible :func:`hash_split` → per-split :func:`plc.packing.
+    pack_sequences` into fixed ``seq_len`` examples → encode each split
+    into its own chunk store under ``dst/split=<name>``.
+
+    Every stage is deterministic (key-hash splits, doc_id-ordered packing)
+    so the produced example stores are bit-reproducible across runs and
+    cluster sizes. Returns per-split encode reports + example counts."""
+    import os
+
+    from plc.packing import pack_sequences
+    from plc.pipeline import PipelineConfig, encode
+
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    sp = hash_split(tokens_df, weights, seed=seed).localCheckpoint()
+    out = {}
+    for name in weights:
+        part = sp.filter(F.col("split") == name).drop("split")
+        ex = (pack_sequences(part, seq_len, num_buckets=num_buckets)
+              .select(F.format_string(name + "-%012d", "example_id")
+                      .alias("doc_id"),
+                      "tokens",
+                      F.size("tokens").cast("int").alias("n_tok")))
+        rep = encode(spark, ex, os.path.join(dst, f"split={name}"),
+                     cfg or PipelineConfig(num_partitions=8,
+                                           straggler_parts=0),
+                     mode=mode)
+        out[name] = {"n_examples": rep["rows"], **rep} \
+            if "rows" in rep else rep
+    return out

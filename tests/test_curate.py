@@ -106,3 +106,40 @@ def test_curate_with_benchmark_decontamination(spark):
     rep2 = curate(spark, docs, d2, quality_min=0.0, mode="overwrite")
     assert "n_clean" not in rep2
     assert rep["n_deduped"] == rep2["n_deduped"]
+
+
+def test_prepare_training_set_end_to_end(spark):
+    """split → pack → encode: each split's example store round-trips
+    through decode, every example except a split's last holds exactly
+    seq_len tokens, and the splits' token totals tile the input corpus."""
+    import os
+    import tempfile
+
+    from plc.curate import hash_split, prepare_training_set
+    from plc.pipeline import decode
+
+    from plc import data as D
+
+    work = tempfile.mkdtemp(prefix="plc_prep_")
+    src = os.path.join(work, "tokens.parquet")
+    D.synth_tokens_parquet(src, 400, regime="zipf", seed=31)
+    tv = spark.read.parquet(src)
+    L = 512
+    w = {"train": 0.8, "val": 0.2}
+    rep = prepare_training_set(spark, tv, work + "/out", seq_len=L,
+                               weights=w, num_buckets=4, mode="overwrite")
+    assert set(rep) == {"train", "val"}
+    want = {r["split"]: r["t"] for r in
+            hash_split(tv, w).groupBy("split")
+            .agg(F.sum(F.size("tokens")).alias("t")).collect()}
+    total_back = 0
+    for name in w:
+        back = decode(spark, f"{work}/out/split={name}")
+        lens = sorted(r["n_tok"] for r in back.select("n_tok").collect())
+        assert rep[name]["n_examples"] == len(lens)
+        assert all(n == L for n in lens[:-1]) or \
+            lens.count(L) >= len(lens) - 1  # one short tail allowed
+        got = back.agg(F.sum("n_tok")).collect()[0][0]
+        assert got == want[name], name
+        total_back += got
+    assert total_back == tv.agg(F.sum(F.size("tokens"))).collect()[0][0]
