@@ -24,16 +24,26 @@ and Catalyst drives the storage layer exactly like a built-in format:
   1000-executor cluster fans out across part files with zero driver state
   beyond the descriptor list.
 
-Planning happens driver-side with pyarrow only (no Spark jobs): the store's
-own metadata columns are the "footer". Reads yield Arrow RecordBatches —
-the whole path is vectorized end to end.
+Planning happens driver-side with pyarrow only (no Spark jobs — and no
+py4j: the Python DataSource planner runs without a JVM gateway, so the
+``plc.fsio`` Hadoop helpers are unusable here). Filesystem access routes
+through ``pyarrow.fs`` instead — a plain path, a ``file:`` URI, or any
+URI pyarrow resolves (``s3://``, ``hdfs://``, ``gs://``) all work, and
+the same (fs, path) travels in the partition descriptors so executors
+open files through the identical abstraction. Per-file metadata reads fan
+out on a thread pool (pyarrow releases the GIL on I/O), and the planner
+reads only the cheap typed min/max columns — the stats JSON (which
+carries up-to-256 KB blooms per chunk) is fetched lazily, per file, only
+when a chunk survives range pruning AND a pushed filter actually needs a
+stats/bloom test. Reads yield Arrow RecordBatches — the whole path is
+vectorized end to end.
 """
 
 from __future__ import annotations
 
-import glob
 import json
 import os
+import posixpath
 
 import pyarrow.parquet as pq
 
@@ -42,36 +52,101 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (DataSource, DataSourceArrowWriter,
                                     DataSourceReader, DataSourceStreamReader,
                                     EqualTo, GreaterThan, GreaterThanOrEqual,
-                                    InputPartition, LessThan,
+                                    In, InputPartition, LessThan,
                                     LessThanOrEqual, WriterCommitMessage)
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StringType, StructType
 
-_META_COLS = ["chunk_idx", "min_doc_id", "max_doc_id", "min_w", "max_w",
-              "stats"]
-
-
-def _load_plan(path: str) -> dict:
-    with open(os.path.join(path, "_manifest", "plan.json")) as f:
-        return json.load(f)
+# planner fast path: typed per-chunk columns, no stats JSON (see _PlanFS)
+_RANGE_COLS = ["chunk_idx", "min_doc_id", "max_doc_id", "min_w", "max_w"]
+_PLAN_THREADS = 32
 
 
-def _committed_batch_ids(path: str) -> list[int]:
+class _PlanFS:
+    """Filesystem wrapper for planning + executor reads: resolves a path
+    or URI once via ``pyarrow.fs`` and exposes the few operations the
+    format needs. Pickles into partition descriptors (stores the original
+    path string, re-resolves lazily on the executor)."""
+
+    def __init__(self, path: str):
+        self.orig = path
+        self._resolve(path)
+
+    def _resolve(self, path: str) -> None:
+        import pyarrow.fs as pafs
+
+        if path.startswith("file:"):
+            # normalize file:/p, file://p, file:///p to a plain local path
+            p = path[len("file:"):]
+            while p.startswith("//"):
+                p = p[1:]
+            self.fs, self.root = pafs.LocalFileSystem(), p
+        elif "://" in path:
+            self.fs, self.root = pafs.FileSystem.from_uri(path)
+        else:
+            self.fs, self.root = pafs.LocalFileSystem(), path
+
+    def __getstate__(self):
+        return {"orig": self.orig}
+
+    def __setstate__(self, state):
+        self.orig = state["orig"]
+        self._resolve(state["orig"])
+
+    def join(self, *parts: str) -> str:
+        return posixpath.join(self.root, *parts)
+
+    def exists(self, rel: str) -> bool:
+        import pyarrow.fs as pafs
+
+        info = self.fs.get_file_info(self.join(rel))
+        return info.type != pafs.FileType.NotFound
+
+    def listdir(self, rel: str = "") -> list:
+        import pyarrow.fs as pafs
+
+        sel = pafs.FileSelector(self.join(rel) if rel else self.root,
+                                allow_not_found=True)
+        return self.fs.get_file_info(sel)
+
+    def read_json(self, rel: str) -> dict:
+        with self.fs.open_input_stream(self.join(rel)) as f:
+            return json.loads(f.read().decode("utf-8"))
+
+    def read_parquet(self, full_path: str, columns: list[str]):
+        return pq.read_table(full_path, columns=columns,
+                             filesystem=self.fs)
+
+
+def _load_plan(pfs: "_PlanFS | str", rel: str = "") -> dict:
+    if isinstance(pfs, str):
+        pfs = _PlanFS(pfs)
+    sub = posixpath.join(rel, "_manifest", "plan.json") if rel else \
+        posixpath.join("_manifest", "plan.json")
+    return pfs.read_json(sub)
+
+
+def _committed_batch_ids(pfs: _PlanFS) -> list[int]:
     """Batch ids under a stream root whose ATOMIC commit marker exists —
     a partial per-part manifest (crash mid-commit, resumed later) must
     never be consumed, or the resumed remainder would be skipped forever."""
     out = []
-    for b in glob.glob(os.path.join(path, "batch=*")):
-        if os.path.exists(os.path.join(b, "_manifest",
-                                       "_STREAM_COMMITTED")):
-            out.append(int(os.path.basename(b).split("=")[1]))
+    for st in pfs.listdir():
+        name = posixpath.basename(st.path)
+        if not name.startswith("batch="):
+            continue
+        if pfs.exists(posixpath.join(name, "_manifest",
+                                     "_STREAM_COMMITTED")):
+            out.append(int(name.split("=")[1]))
     return sorted(out)
 
 
-def _committed_parts(path: str) -> set[int]:
-    files = glob.glob(os.path.join(path, "_manifest", "parts", "*.parquet"))
+def _committed_parts(pfs: _PlanFS, rel: str) -> set[int]:
     out: set[int] = set()
-    for f in files:
-        out.update(pq.read_table(f, columns=["part_id"])
+    for st in pfs.listdir(posixpath.join(rel, "_manifest", "parts")
+                          if rel else posixpath.join("_manifest", "parts")):
+        if not st.path.endswith(".parquet"):
+            continue
+        out.update(pfs.read_parquet(st.path, ["part_id"])
                    .column("part_id").to_pylist())
     return out
 
@@ -88,30 +163,21 @@ class PLCDataSource(DataSource):
         if not path:
             raise ValueError("plc data source requires a path: "
                              "spark.read.format('plc').load(dst)")
-        if path.startswith("file:"):
-            path = path[len("file:"):]
-        if "://" in path:
-            raise NotImplementedError(
-                f"the plc format does I/O with local pyarrow (driver plans "
-                f"from the store's own metadata; executors open files "
-                f"directly) and needs a filesystem visible at the same "
-                f"path everywhere (POSIX/NFS/fuse mounts); for {path!r} "
-                f"use plc.encode/plc.decode, which run through Spark's "
-                f"Hadoop filesystem layer")
         return path
 
     def schema(self) -> StructType:
-        path = self._path()
-        if os.path.exists(os.path.join(path, "_manifest", "plan.json")):
-            return StructType.fromJson(_load_plan(path)["schema"])
+        pfs = _PlanFS(self._path())
+        if pfs.exists(posixpath.join("_manifest", "plan.json")):
+            return StructType.fromJson(_load_plan(pfs)["schema"])
         # streaming root (plc.streaming.encode_stream output): batch=<id>
         # sub-stores, each a complete encode — schema from the first one
-        for b in sorted(glob.glob(os.path.join(path, "batch=*"))):
-            if os.path.exists(os.path.join(b, "_manifest", "plan.json")):
-                return StructType.fromJson(_load_plan(b)["schema"])
+        for bid in _committed_batch_ids(pfs):
+            rel = f"batch={bid}"
+            if pfs.exists(posixpath.join(rel, "_manifest", "plan.json")):
+                return StructType.fromJson(_load_plan(pfs, rel)["schema"])
         raise FileNotFoundError(
-            f"{path} is neither a plc store (_manifest/plan.json) nor a "
-            f"stream root with committed batch=<id> stores")
+            f"{self._path()} is neither a plc store (_manifest/plan.json) "
+            f"nor a stream root with committed batch=<id> stores")
 
     def reader(self, schema: StructType) -> "PLCReader":
         return PLCReader(self._path(), schema)
@@ -125,29 +191,44 @@ class PLCDataSource(DataSource):
 
 
 class PLCChunkPartition(InputPartition):
-    def __init__(self, file: str, rows: list[int] | None):
-        self.file = file
+    def __init__(self, pfs: _PlanFS, file: str, rows: list[int] | None):
+        self.pfs = pfs    # pickles as the original path/URI, re-resolves
+        self.file = file  # full path within pfs.fs
         self.rows = rows  # chunk row indices surviving pruning; None = all
 
 
 class PLCReader(DataSourceReader):
     def __init__(self, path: str, schema: StructType):
         self.schema = schema  # Spark's PRUNED projection
-        if os.path.exists(os.path.join(path, "_manifest", "plan.json")):
-            self.roots = [path]
+        self.pfs = _PlanFS(path)
+        if self.pfs.exists(posixpath.join("_manifest", "plan.json")):
+            self.roots = [""]
         else:
             # streaming root: batch read = union of COMMITTED batch stores
-            self.roots = [os.path.join(path, f"batch={bid}")
-                          for bid in _committed_batch_ids(path)]
+            self.roots = [f"batch={bid}"
+                          for bid in _committed_batch_ids(self.pfs)]
             if not self.roots:
                 raise FileNotFoundError(
                     f"{path} is neither a plc store (_manifest/plan.json) "
                     f"nor a stream root with committed batch=<id> stores")
-        self.plan = _load_plan(self.roots[0])
+        self.plan = _load_plan(self.pfs, self.roots[0])
+        # a stream root whose batches diverge in schema or weight column
+        # would be silently mispruned/misread under roots[0]'s plan —
+        # reject it instead (batches come from one encode_stream config,
+        # so divergence means a corrupted or hand-mixed root)
+        for rel in self.roots[1:]:
+            p = _load_plan(self.pfs, rel)
+            if p["schema"] != self.plan["schema"] or \
+                    p.get("weight_col") != self.plan.get("weight_col"):
+                raise ValueError(
+                    f"stream root {path}: {rel} has a different plan "
+                    f"schema/weight_col than {self.roots[0] or 'the root'};"
+                    f" refusing to union divergent batch stores")
         full = StructType.fromJson(self.plan["schema"])
         self.col_types = {f.name: f.dataType.simpleString() for f in full}
         self.wcol = self.plan.get("weight_col", "n_tok")
         self.bounds: dict[str, list] = {}  # col -> [lo, hi] (inclusive)
+        self.doc_in: list[str] | None = None  # doc_id IN (...) probe keys
 
     # -- filter pushdown ---------------------------------------------------
 
@@ -173,11 +254,44 @@ class PLCReader(DataSourceReader):
                     self._tighten(col, hi=v)
                 else:
                     self._tighten(col, lo=v, hi=v)
+            elif isinstance(f, In) and len(f.attribute) == 1 \
+                    and f.attribute[0] in self.col_types and f.value:
+                vals = [v for v in f.value if v is not None]
+                if vals:
+                    # any column: the value set's min/max is a range bound;
+                    # doc_id additionally bloom-probes every key (batch
+                    # point lookup — a chunk survives if ANY key might be
+                    # present)
+                    self._tighten(f.attribute[0], lo=min(vals),
+                                  hi=max(vals))
+                    if f.attribute[0] == "doc_id":
+                        self.doc_in = [str(v) for v in vals]
             yield f  # everything is "unsupported": Spark re-filters exactly
 
     # -- planning ----------------------------------------------------------
 
-    def _chunk_survives(self, meta: dict) -> bool:
+    def _doc_probes(self) -> list[str]:
+        """doc_id keys needing a per-chunk bloom test (exact probe via
+        lo==hi bounds, or a pushed IN list)."""
+        lo, hi = self.bounds.get("doc_id", (None, None))
+        if self.doc_in is not None:
+            return self.doc_in
+        if lo is not None and lo == hi:
+            return [lo]
+        return []
+
+    def _needs_stats(self) -> bool:
+        """True when pruning must read the per-chunk stats JSON: bounds on
+        a column with no typed min/max column, or a doc_id bloom probe."""
+        if self._doc_probes():
+            return True
+        return any(col != "doc_id" and not (col == self.wcol
+                                            and self.wcol != "_w")
+                   for col in self.bounds)
+
+    def _survives_range(self, meta: dict) -> bool:
+        """Typed min/max pruning only (no stats JSON): doc_id bounds and
+        the weight column's min_w/max_w."""
         for col, (lo, hi) in self.bounds.items():
             if col == "doc_id":
                 if lo is not None and meta["max_doc_id"] is not None \
@@ -186,24 +300,32 @@ class PLCReader(DataSourceReader):
                 if hi is not None and meta["min_doc_id"] is not None \
                         and meta["min_doc_id"] > hi:
                     return False
-                if lo is not None and lo == hi:
-                    # exact probe: the per-chunk doc_id bloom can rule the
-                    # chunk out even when its min/max range overlaps
-                    from plc.chunk import bloom_might_contain
-
-                    st = json.loads(meta["stats"]).get("doc_id", {})
-                    if not bloom_might_contain(st, lo):
-                        return False
-                continue
-            if col == self.wcol and self.wcol != "_w":
+            elif col == self.wcol and self.wcol != "_w":
                 if lo is not None and meta["max_w"] is not None \
                         and meta["max_w"] < lo:
                     return False
                 if hi is not None and meta["min_w"] is not None \
                         and meta["min_w"] > hi:
                     return False
-                continue
-            st = json.loads(meta["stats"]).get(col, {})
+        return True
+
+    def _survives_stats(self, stats: dict, meta: dict) -> bool:
+        """Stats-JSON pruning for range-surviving chunks: generic/temporal
+        min-max plus the doc_id bloom probe(s)."""
+        probes = self._doc_probes()
+        if probes:
+            from plc.chunk import bloom_might_contain
+
+            st = stats.get("doc_id", {})
+            mn, mx = meta["min_doc_id"], meta["max_doc_id"]
+            if not any(
+                    (mn is None or v >= mn) and (mx is None or v <= mx)
+                    and bloom_might_contain(st, v) for v in probes):
+                return False
+        for col, (lo, hi) in self.bounds.items():
+            if col == "doc_id" or (col == self.wcol and self.wcol != "_w"):
+                continue  # already settled by _survives_range
+            st = stats.get(col, {})
             smin, smax = st.get("min"), st.get("max")
             if smin is None and smax is None:
                 continue  # no stat recorded → keep
@@ -228,31 +350,50 @@ class PLCReader(DataSourceReader):
                 return False
         return True
 
-    def partitions(self):
-        parts = []
-        for root in self.roots:
-            parts.extend(self._partitions_for(root))
-        return parts
+    def _plan_file(self, fpath: str) -> "PLCChunkPartition | None":
+        """Prune one encoded file's chunks: read ONLY the typed range
+        columns first; fetch the stats JSON (which carries the blooms)
+        iff some chunk survives ranges and a pushed filter needs it."""
+        meta = self.pfs.read_parquet(fpath, _RANGE_COLS)
+        rows = [{c: meta.column(c)[i].as_py() for c in _RANGE_COLS}
+                for i in range(meta.num_rows)]
+        keep = [i for i, m in enumerate(rows) if self._survives_range(m)]
+        if keep and self._needs_stats():
+            stats = self.pfs.read_parquet(fpath, ["stats"]).column("stats")
+            keep = [i for i in keep
+                    if self._survives_stats(json.loads(stats[i].as_py()),
+                                            rows[i])]
+        if not keep:
+            return None
+        sel = None if len(keep) == meta.num_rows else keep
+        return PLCChunkPartition(self.pfs, fpath, sel)
 
-    def _partitions_for(self, root: str):
-        committed = _committed_parts(root)
-        data = os.path.join(root, "data")
-        parts = []
-        for pdir in sorted(glob.glob(os.path.join(data, "part_id=*"))):
-            pid = int(os.path.basename(pdir).split("=")[1])
-            if pid not in committed:
-                continue  # crashed/uncommitted part: invisible
-            for f in sorted(glob.glob(os.path.join(pdir, "*.parquet"))):
-                meta = pq.read_table(f, columns=_META_COLS)
-                keep = [i for i in range(meta.num_rows)
-                        if self._chunk_survives(
-                            {c: meta.column(c)[i].as_py()
-                             for c in _META_COLS})]
-                if not keep:
-                    continue
-                rows = None if len(keep) == meta.num_rows else keep
-                parts.append(PLCChunkPartition(f, rows))
-        return parts
+    def partitions(self):
+        # listing + per-file metadata reads fan out on a thread pool
+        # (pyarrow releases the GIL on I/O): at 10^5 part files a serial
+        # footer walk puts minutes of driver wall before the first task
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=_PLAN_THREADS) as pool:
+            committed = {rel: c for rel, c in zip(
+                self.roots, pool.map(
+                    lambda r: _committed_parts(self.pfs, r), self.roots))}
+            files: list[str] = []
+            for rel in self.roots:
+                data_rel = posixpath.join(rel, "data") if rel else "data"
+                pdirs = []
+                for st in self.pfs.listdir(data_rel):
+                    name = posixpath.basename(st.path)
+                    if not name.startswith("part_id="):
+                        continue
+                    if int(name.split("=")[1]) not in committed[rel]:
+                        continue  # crashed/uncommitted part: invisible
+                    pdirs.append(posixpath.join(data_rel, name))
+                for infos in pool.map(self.pfs.listdir, sorted(pdirs)):
+                    files.extend(sorted(st.path for st in infos
+                                        if st.path.endswith(".parquet")))
+            parts = list(pool.map(self._plan_file, files))
+        return [p for p in parts if p is not None]
 
     # -- execution (one task per encoded file) ------------------------------
 
@@ -274,7 +415,7 @@ def _read_chunk_partition(partition: PLCChunkPartition | None,
     if not names:
         # zero-column projection (SELECT count(*)): row counts come
         # from the chunk metadata, no frame is ever decoded
-        tbl = pq.read_table(partition.file, columns=["n_rows"])
+        tbl = partition.pfs.read_parquet(partition.file, ["n_rows"])
         rows = tbl.column("n_rows").to_pylist()
         idxs = (range(len(rows)) if partition.rows is None
                 else partition.rows)
@@ -282,7 +423,7 @@ def _read_chunk_partition(partition: PLCChunkPartition | None,
             yield pa.RecordBatch.from_struct_array(
                 pa.array([{}] * rows[i], pa.struct([])))
         return
-    tbl = pq.read_table(partition.file, columns=["payload"])
+    tbl = partition.pfs.read_parquet(partition.file, ["payload"])
     payloads = tbl.column("payload")
     idxs = (range(len(payloads)) if partition.rows is None
             else partition.rows)
@@ -304,7 +445,7 @@ class PLCStreamReader(DataSourceStreamReader):
         self.schema = schema
 
     def _committed_ids(self) -> list[int]:
-        return _committed_batch_ids(self.path)
+        return _committed_batch_ids(_PlanFS(self.path))
 
     def initialOffset(self) -> dict:
         return {"last": -1}
@@ -317,7 +458,7 @@ class PLCStreamReader(DataSourceStreamReader):
         parts: list[PLCChunkPartition] = []
         for bid in self._committed_ids():
             if start["last"] < bid <= end["last"]:
-                bpath = os.path.join(self.path, f"batch={bid}")
+                bpath = posixpath.join(self.path, f"batch={bid}")
                 parts.extend(PLCReader(bpath, self.schema).partitions())
         return parts
 
@@ -365,9 +506,29 @@ class PLCWriter(DataSourceArrowWriter):
                  max_chunk_values):
         import shutil
 
+        if path.startswith("file:"):
+            path = path[len("file:"):]
+            while path.startswith("//"):
+                path = path[1:]
+        if "://" in path:
+            raise NotImplementedError(
+                f"plc format writes stage task files locally and promote "
+                f"them with atomic renames at commit; {path!r} needs a "
+                f"filesystem visible at the same path everywhere — use "
+                f"plc.encode() for cluster URIs (it writes through "
+                f"Spark's Hadoop filesystem layer)")
         if "doc_id" not in schema.fieldNames():
             raise ValueError("plc stores require a doc_id column "
                              "(chunk pruning + lineage identity)")
+        if not isinstance(schema["doc_id"].dataType, StringType):
+            # fail at planning time with the contract spelled out — a
+            # bigint doc_id otherwise dies executor-side deep in flush()
+            # with an opaque ArrowTypeError from the manifest min/max cast
+            raise ValueError(
+                f"plc stores require doc_id to be a string column (got "
+                f"{schema['doc_id'].dataType.simpleString()}); cast it "
+                f"first, e.g. df.withColumn('doc_id', "
+                f"col('doc_id').cast('string'))")
         self.path = path
         self.schema = schema
         self.max_vals = int(max_chunk_values or (1 << 22))

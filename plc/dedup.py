@@ -378,7 +378,13 @@ def simhash_signature(tokens_col: str | Column, bits: int = 32,
     hash leaves bits ≥ 32 constant, which would degenerate banded joins
     into all-pairs). Pure JVM expressions; fine for narrow widths or
     expression contexts — the Arrow kernel in :func:`simhash_sigs` computes
-    the identical signature ~50× faster for wide/bulk use."""
+    the identical signature ~50× faster for wide/bulk use.
+
+    Token ids are expected non-negative < 2^31 (the same contract as the
+    shingle kernels; :func:`_simhash_sig_arrays` raises on violations).
+    The vote hash uses ``pmod`` (floor mod), so even out-of-contract
+    negative ids get the same floor-mod arithmetic numpy's ``%`` would —
+    the JVM's truncated ``%`` would silently flip their parity."""
     if not 0 < bits <= 62:
         raise ValueError(f"bits must be in 1..62 (got {bits}): bit 62 is "
                          f"the widest 1<<b that stays a positive bigint "
@@ -390,8 +396,8 @@ def simhash_signature(tokens_col: str | Column, bits: int = 32,
 
     def bit_vote(a, c):
         return lambda acc, x: acc + \
-            ((x.cast("bigint") * F.lit(a) + F.lit(c))
-             % F.lit(MERSENNE_P) % 2) * 2 - 1
+            F.pmod(F.pmod(x.cast("bigint") * F.lit(a) + F.lit(c),
+                          F.lit(MERSENNE_P)), F.lit(2)) * 2 - 1
 
     out = F.lit(0).cast("bigint")
     for b, (a, c) in enumerate(params):

@@ -108,14 +108,14 @@ _BLOOM_K = 7  # hash functions per insert (double hashing h1 + i*h2)
 
 
 def _bloom_positions(h1: "np.ndarray", h2: "np.ndarray", m_bits: int):
-    """(byte index, bit mask) matrices of shape (k, rows) for a batch of
-    64-bit hash pairs — fully vectorized (no per-row Python)."""
+    """Bit-position matrix of shape (k, rows) for a batch of 64-bit hash
+    pairs — fully vectorized (no per-row Python). Bit layout is LSB-first
+    within each byte (bit b of byte i = position 8*i + b), matching
+    ``np.packbits(bitorder="little")``."""
     import numpy as np
 
     i = np.arange(1, _BLOOM_K + 1, dtype=np.uint64)[:, None]
-    pos = (h1[None, :] + i * h2[None, :]) % np.uint64(m_bits)
-    return (pos >> np.uint64(3)).astype(np.int64), \
-        np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8)
+    return (h1[None, :] + i * h2[None, :]) % np.uint64(m_bits)
 
 
 def stateful_dedup_stream(stream_df: DataFrame, *, n_buckets: int = 64,
@@ -131,9 +131,10 @@ def stateful_dedup_stream(stream_df: DataFrame, *, n_buckets: int = 64,
     JVM xxhash64 content hashes), so state is O(1) per bucket forever —
     the round-2 grow-forever seen-hash array is gone (VERDICT r2 #4).
     Duplicates are NEVER missed (a Bloom filter has no false negatives);
-    the trade is a false-positive rate that rises with inserts: at
-    n = m/k inserts per bucket (~1.2M at defaults) FPR ≈ (1-e^-1)^7 ≈ 0.8%,
-    i.e. ~0.8% of distinct docs wrongly dropped. A bucket that exceeds
+    the trade is a false-positive rate that rises with inserts: at the
+    design load n = m·ln2/k inserts per bucket (~831k at defaults) the
+    filter is half full and FPR ≈ 0.5^7 ≈ 0.8%, i.e. at most ~0.8% of
+    distinct docs wrongly dropped. A bucket that exceeds
     that design load RAISES rather than silently saturating — size
     ``bloom_bits`` and ``n_buckets`` to the expected distinct count, or
     use Spark's ``dropDuplicatesWithinWatermark`` when a bounded dedup
@@ -144,11 +145,14 @@ def stateful_dedup_stream(stream_df: DataFrame, *, n_buckets: int = 64,
 
     assert bloom_bits % 8 == 0
     m_bytes = bloom_bits // 8
-    # design load: at n = m/k inserts FPR ≈ (1-e^-1)^k ≈ 0.8%. Beyond it a
-    # saturating filter would silently drop ever more DISTINCT docs as
-    # "duplicates" — fail loudly instead (resize bloom_bits/n_buckets, or
-    # use dropDuplicatesWithinWatermark for unbounded streams)
-    capacity = bloom_bits // _BLOOM_K
+    # design load: the canonical n = m·ln2/k (half-full filter) gives
+    # FPR = 0.5^k ≈ 0.8% at k=7. Beyond it a saturating filter would
+    # silently drop ever more DISTINCT docs as "duplicates" — fail loudly
+    # instead (resize bloom_bits/n_buckets, or use
+    # dropDuplicatesWithinWatermark for unbounded streams). The earlier
+    # m/k cap sat at 63% fill, whose real FPR is (1-e^-1)^7 ≈ 4%, five
+    # times the documented loss rate.
+    capacity = int(bloom_bits * 0.6931471805599453 / _BLOOM_K)
     content = [c for c in stream_df.columns if c in ("tokens", "text")]
     d = stream_df.select(
         *out_cols,
@@ -172,14 +176,22 @@ def stateful_dedup_stream(stream_df: DataFrame, *, n_buckets: int = 64,
         for pdf in pdfs:
             h1 = pdf["_h1"].to_numpy(dtype=np.int64).view(np.uint64)
             h2 = pdf["_h2"].to_numpy(dtype=np.int64).view(np.uint64)
-            byte_i, mask = _bloom_positions(h1, h2, bloom_bits)
+            pos = _bloom_positions(h1, h2, bloom_bits)
+            byte_i = (pos >> np.uint64(3)).astype(np.int64)
+            mask = np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8)
             seen = ((bloom[byte_i] & mask) == mask).all(axis=0)
             in_batch_dup = pdf[["_h1", "_h2"]].duplicated(keep="first") \
                 .to_numpy()
             keep = ~seen & ~in_batch_dup
             if keep.any():
-                np.bitwise_or.at(bloom, byte_i[:, keep].ravel(),
-                                 mask[:, keep].ravel())
+                # bool-scatter + packbits-OR: same pattern as
+                # plc/chunk.py _bloom_build — bitwise_or.at is a
+                # per-element ufunc (~1 µs/element; k=7 × a 100k-row
+                # microbatch ≈ 0.7 s of pure scatter), the bool temp is
+                # two memset-speed passes
+                bits = np.zeros(bloom_bits, dtype=bool)
+                bits[pos[:, keep].ravel().astype(np.int64)] = True
+                bloom |= np.packbits(bits, bitorder="little")
                 n_ins += int(keep.sum())
                 if n_ins > capacity:
                     raise RuntimeError(

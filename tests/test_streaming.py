@@ -194,11 +194,16 @@ def test_bloom_state_is_fixed_size():
     rng = np.random.default_rng(7)
 
     def insert(h1, h2):
-        bi, mk = _bloom_positions(h1, h2, m_bits)
-        np.bitwise_or.at(bloom, bi.ravel(), mk.ravel())
+        pos = _bloom_positions(h1, h2, m_bits)
+        bits = np.zeros(m_bits, dtype=bool)
+        bits[pos.ravel().astype(np.int64)] = True
+        np.bitwise_or(bloom, np.packbits(bits, bitorder="little"),
+                      out=bloom)
 
     def contains(h1, h2):
-        bi, mk = _bloom_positions(h1, h2, m_bits)
+        pos = _bloom_positions(h1, h2, m_bits)
+        bi = (pos >> np.uint64(3)).astype(np.int64)
+        mk = np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8)
         return ((bloom[bi] & mk) == mk).all(axis=0)
 
     small1 = rng.integers(0, 2**63, 10).astype(np.uint64)
