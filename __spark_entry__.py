@@ -609,6 +609,38 @@ def _point_lookup(spark, sf):
                       F.lit(n_miss).cast("bigint").alias("n_miss"))
 
 
+def _batch_lookup(spark, sf):
+    """Batch point lookup (IN-list, VERDICT r3 #3): encode the tokens view,
+    then fetch a scattered key set (doc_id % 97 == 5 — reproducible in
+    SQL) in ONE pruned scan via decode(doc_ids=...): chunk selection is a
+    broadcast (key, bloom-hash) semi-join, not one decode per key. The
+    same keys shifted out of existence must prune EVERY chunk (asserted —
+    bloom + range), and their decode returns zero rows (n_miss)."""
+    from plc.pipeline import PipelineConfig, decode, encode, select_chunks
+
+    src = tokens_view(spark, sf)
+    dst = tempfile.mkdtemp(prefix="plc_qbl_")
+    encode(spark, src, dst,
+           PipelineConfig(num_partitions=4, straggler_parts=0),
+           mode="overwrite")
+    keys = [r[0] for r in
+            src.filter(F.col("doc_id").cast("int") % 97 == 5)
+            .select("doc_id").collect()]
+    absent = [k + "-absent" for k in keys]
+    # chunk-touch accounting: absent keys must touch ZERO chunks even
+    # though each falls inside some chunk's [min,max] range
+    assert select_chunks(spark, dst, doc_ids=absent)[0].count() == 0
+    assert select_chunks(spark, dst, doc_ids=keys)[0].count() >= 1
+    n_miss = decode(spark, dst, doc_ids=absent).count()
+    rows = decode(spark, dst, doc_ids=keys, columns=["doc_id", "n_tok"])
+    return rows.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc")).withColumn(
+        "n_miss", F.lit(n_miss).cast("bigint"))
+
+
 def _encode_manifest(spark, sf):
     """Non-SQL: full pipeline on the sf's documents-derived tokens view;
     returns the lineage manifest (rows-only driver check)."""
@@ -906,6 +938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination_stats": _decontamination_stats,
         "hash_split_counts": _hash_split_counts,
         "point_lookup": _point_lookup,
+        "batch_lookup": _batch_lookup,
         "encode_events": _encode_events,
         "encode_manifest": _encode_manifest,
         "roundtrip_check": _roundtrip_check,
@@ -1061,6 +1094,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT tv.doc_id, tv.n_tok, tv.source,
                    CAST(0 AS BIGINT) AS n_miss
             FROM tv, p WHERE tv.doc_id = p.m
+        """,
+        "batch_lookup": f"""
+            WITH tv AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                               CAST(len({_TOKENS_SQL}) AS INTEGER) AS n_tok
+                        FROM documents
+                        WHERE doc_id % 97 = 5)
+            SELECT count(*) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+                   min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+                   CAST(0 AS BIGINT) AS n_miss
+            FROM tv
         """,
         "dedup_minhash_pairs": _minhash_pairs_sql(),
         "simhash_near_dup": _simhash_sql(),

@@ -77,9 +77,12 @@ def main(argv=None) -> int:
 
     p_look = sub.add_parser("lookup",
                             help="point lookup: decode the row(s) of one "
-                                 "doc_id (bloom + range chunk pruning)")
+                                 "or more doc_ids (bloom + range chunk "
+                                 "pruning; N ids = one batched scan)")
     common(p_look)
-    p_look.add_argument("--doc-id", required=True)
+    p_look.add_argument("--doc-id", required=True,
+                        help="one doc_id, or several comma-separated "
+                             "(batch lookup in a single pruned scan)")
     p_look.add_argument("--columns", default=None,
                         help="comma-separated column subset")
 
@@ -133,8 +136,12 @@ def main(argv=None) -> int:
                 print(json.dumps(row.asDict(), default=str))
         elif args.cmd == "lookup":
             cols = args.columns.split(",") if args.columns else None
-            out = decode(spark, args.dst, columns=cols,
-                         filters={"doc_id": (args.doc_id, args.doc_id)})
+            ids = [d for d in args.doc_id.split(",") if d]
+            if len(ids) == 1:
+                out = decode(spark, args.dst, columns=cols,
+                             filters={"doc_id": (ids[0], ids[0])})
+            else:
+                out = decode(spark, args.dst, columns=cols, doc_ids=ids)
             for row in out.collect():
                 print(json.dumps(row.asDict(), default=str))
         return 0

@@ -667,15 +667,34 @@ def _read_enc(spark: SparkSession, dst: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def _normalize_ranges(spec) -> list[tuple]:
+    """A filter value is one inclusive (lo, hi) tuple or a list of them
+    (multi-range = OR of ranges — e.g. IVF probing scattered cells in one
+    scan). Returns a non-empty list of (lo, hi) tuples."""
+    if isinstance(spec, list):
+        if not spec:
+            raise ValueError("empty range list in filters")
+        return [tuple(r) for r in spec]
+    return [tuple(spec)]
+
+
 def select_chunks(spark: SparkSession, dst: str, *,
                   doc_id_min: str | None = None,
                   doc_id_max: str | None = None,
-                  filters: dict[str, tuple] | None = None
+                  filters: dict | None = None,
+                  doc_ids: list[str] | None = None
                   ) -> tuple[DataFrame, dict]:
     """Chunk-selection head shared by :func:`decode` and storage-pruning
     tests: committed-part semi-join + doc_id bounds + per-chunk stats
     pruning. Returns (pruned enc-chunk DataFrame, plan). Counting rows of
-    the result shows exactly how many chunks a decode would touch."""
+    the result shows exactly how many chunks a decode would touch.
+
+    ``filters`` values are inclusive ``(lo, hi)`` tuples or LISTS of them
+    (multi-range: a chunk survives if ANY range intersects its stats).
+    ``doc_ids`` is the batch point lookup: a chunk survives only if at
+    least one key falls in its [min_doc_id, max_doc_id] AND passes its
+    bloom — evaluated as ONE broadcast semi-join carrying driver-computed
+    (h1, h2) per key, so a 10k-key fetch is still a single pruned scan."""
     plan = _load_plan(spark, dst)
     schema = StructType.fromJson(plan["schema"])
     known = {f.name for f in schema.fields}
@@ -691,15 +710,21 @@ def select_chunks(spark: SparkSession, dst: str, *,
     if doc_id_max is not None:
         enc = enc.filter(F.col("min_doc_id") <= doc_id_max)
     wcol = plan.get("weight_col", "n_tok")
-    for col, (lo, hi) in filters.items():
+    for col, spec in filters.items():
+        ranges = _normalize_ranges(spec)
         if col == wcol and wcol != "_w":
             # typed stat columns: plain comparisons → parquet row-group skip
-            if lo is not None:
-                enc = enc.filter(F.col("max_w").isNull() |
-                                 (F.col("max_w") >= lo))
-            if hi is not None:
-                enc = enc.filter(F.col("min_w").isNull() |
-                                 (F.col("min_w") <= hi))
+            conds = []
+            for lo, hi in ranges:
+                c = F.lit(True)
+                if lo is not None:
+                    c = c & (F.col("max_w").isNull() |
+                             (F.col("max_w") >= lo))
+                if hi is not None:
+                    c = c & (F.col("min_w").isNull() |
+                             (F.col("min_w") <= hi))
+                conds.append(c)
+            enc = enc.filter(reduce(lambda a, b: a | b, conds))
         else:
             # generic per-chunk stats JSON; chunks with no stat stay
             smin = F.get_json_object("stats", f"$.{col}.min")
@@ -717,42 +742,88 @@ def select_chunks(spark: SparkSession, dst: str, *,
                 for u, x in TEMPORAL_UNIT_TO_US.items():
                     fac = F.when(sunit == u, F.lit(x)).otherwise(fac)
                 slack = TEMPORAL_TZ_SLACK_US
-                if lo is not None:
-                    enc = enc.filter(
-                        smax.isNull() | (smax.cast("double") * fac >=
-                                         _temporal_us(lo) - slack))
-                if hi is not None:
-                    enc = enc.filter(
-                        smin.isNull() | (smin.cast("double") * fac <=
-                                         _temporal_us(hi) + slack))
+                conds = []
+                for lo, hi in ranges:
+                    c = F.lit(True)
+                    if lo is not None:
+                        c = c & (smax.isNull() |
+                                 (smax.cast("double") * fac >=
+                                  _temporal_us(lo) - slack))
+                    if hi is not None:
+                        c = c & (smin.isNull() |
+                                 (smin.cast("double") * fac <=
+                                  _temporal_us(hi) + slack))
+                    conds.append(c)
+                enc = enc.filter(reduce(lambda a, b: a | b, conds))
                 continue
             cast_t = "string" if dt == "string" else "double"
-            if lo is not None:
-                enc = enc.filter(smax.isNull() |
-                                 (smax.cast(cast_t) >= F.lit(lo)))
-            if hi is not None:
-                enc = enc.filter(smin.isNull() |
-                                 (smin.cast(cast_t) <= F.lit(hi)))
+            conds = []
+            for lo, hi in ranges:
+                c = F.lit(True)
+                if lo is not None:
+                    c = c & (smax.isNull() |
+                             (smax.cast(cast_t) >= F.lit(lo)))
+                if hi is not None:
+                    c = c & (smin.isNull() |
+                             (smin.cast(cast_t) <= F.lit(hi)))
+                conds.append(c)
+            enc = enc.filter(reduce(lambda a, b: a | b, conds))
     probe = None
     if doc_id_min is not None and doc_id_min == doc_id_max:
         probe = doc_id_min
-    dlo, dhi = filters.get("doc_id", (None, None))
-    if dlo is not None and dlo == dhi:
-        probe = dlo
+    dspec = filters.get("doc_id")
+    if dspec is not None:
+        dranges = _normalize_ranges(dspec)
+        if len(dranges) == 1 and dranges[0][0] is not None \
+                and dranges[0][0] == dranges[0][1]:
+            probe = dranges[0][0]
     if probe is not None:
-        enc = enc.filter(_bloom_probe_expr(probe))
+        from plc.chunk import _bloom_hashes
+
+        h1, h2 = _bloom_hashes(probe)
+        enc = enc.filter(_bloom_probe_expr(F.lit(h1), F.lit(h2)))
+    if doc_ids is not None:
+        enc = _filter_doc_id_batch(spark, enc, doc_ids)
     return enc, plan
 
 
-def _bloom_probe_expr(value: str):
+def _filter_doc_id_batch(spark: SparkSession, enc: DataFrame,
+                         doc_ids: list[str]) -> DataFrame:
+    """Batch point-lookup pruning: keep chunks where ANY key is inside
+    [min_doc_id, max_doc_id] and passes the chunk's bloom. One broadcast
+    semi-join against a tiny (key, h1, h2) table — the bloom hashes are
+    computed once on the driver and the bit test runs as JVM expressions
+    per (chunk, candidate-key) pair, so pruning cost is
+    O(chunks × keys-overlapping-their-range), never a decode."""
+    from plc.chunk import _bloom_hashes
+
+    if not doc_ids:
+        return enc.filter(F.lit(False))
+    keys = sorted(set(doc_ids))
+    kdf = spark.createDataFrame(
+        [(k, *_bloom_hashes(k)) for k in keys],
+        "_key string, _h1 bigint, _h2 bigint")
+    cond = ((F.col("min_doc_id").isNull() |
+             (F.col("_key") >= F.col("min_doc_id"))) &
+            (F.col("max_doc_id").isNull() |
+             (F.col("_key") <= F.col("max_doc_id"))) &
+            _bloom_probe_expr(F.col("_h1"), F.col("_h2")))
+    return enc.join(F.broadcast(kdf), cond, "left_semi")
+
+
+def _bloom_probe_expr(h1, h2):
     """JVM-side bloom membership test against the per-chunk stats JSON for
     an exact doc_id probe — pure Column expressions (unbase64 + substring +
-    hex/conv bit test), no Python in the pruning scan. Chunks without a
+    hex/conv bit test), no Python in the pruning scan. ``h1``/``h2`` are
+    bigint Columns (literals for a single probe, join-side columns for the
+    batch lookup) from :func:`plc.chunk._bloom_hashes`. Chunks without a
     bloom (or with foreign parameters) always survive; false positives are
     settled by decode()'s exact row filter."""
-    from plc.chunk import _BLOOM_K, _BLOOM_V, _bloom_hashes
+    from plc.chunk import _BLOOM_K, _BLOOM_V
 
-    h1, h2 = _bloom_hashes(value)
+    # h1/h2 are < 2^31 so a bare literal parses as a 32-bit int and
+    # i*h2 would overflow under ANSI — force 64-bit arithmetic
+    h1, h2 = h1.cast("bigint"), h2.cast("bigint")
     b64 = F.get_json_object("stats", "$.doc_id.bloom")
     m = F.get_json_object("stats", "$.doc_id.bloom_m").cast("bigint")
     k = F.get_json_object("stats", "$.doc_id.bloom_k").cast("int")
@@ -760,7 +831,8 @@ def _bloom_probe_expr(value: str):
     bits = F.unbase64(b64)
     cond = F.lit(True)
     for i in range(_BLOOM_K):
-        pos = F.pmod(F.lit(h1 + i * h2), m)
+        # h1 + i*h2 ≤ 8·2^31: far from bigint overflow
+        pos = F.pmod(h1 + F.lit(i) * h2, m)
         byte = F.substring(bits, (pos / 8).cast("int") + 1, 1)
         bval = F.conv(F.hex(byte), 16, 10).cast("int")
         # F.shiftleft needs a literal shift count; 2^b via pow is exact
@@ -797,28 +869,37 @@ def _temporal_us(v) -> float:
 def decode(spark: SparkSession, dst: str, *, doc_id_min: str | None = None,
            doc_id_max: str | None = None,
            columns: list[str] | None = None,
-           filters: dict[str, tuple] | None = None) -> DataFrame:
+           filters: dict | None = None,
+           doc_ids: list[str] | None = None) -> DataFrame:
     """Read encoded chunks back as the original table. Only committed parts
     are read (manifest semi-join); doc_id bounds prune chunks via the
     min/max manifest columns (plain filter → parquet row-group skipping);
     ``columns`` prunes at the storage level — unrequested column frames are
     skipped by length inside the chunk, never decoded.
 
-    ``filters``: {column: (lo, hi)} inclusive range predicates. Chunks whose
-    per-column stats exclude the range are skipped entirely — the weight
-    column (n_tok) via the typed min_w/max_w columns (parquet-pushable),
-    everything else via the per-chunk stats JSON — then an exact row filter
-    runs on the decoded output."""
+    ``filters``: {column: (lo, hi)} inclusive range predicates — or a LIST
+    of (lo, hi) tuples per column for multi-range selection (one scan for
+    scattered ranges, e.g. IVF probed cells). Chunks whose per-column
+    stats exclude every range are skipped entirely — the weight column
+    (n_tok) via the typed min_w/max_w columns (parquet-pushable),
+    everything else via the per-chunk stats JSON — then an exact row
+    filter runs on the decoded output.
+
+    ``doc_ids``: batch point lookup — fetch exactly these keys in ONE
+    pass: chunk pruning via a broadcast (key, bloom-hash) semi-join
+    (:func:`select_chunks`), then an exact IN row filter."""
     from plc.util import ensure_shipped
 
     ensure_shipped(spark)
     filters = dict(filters or {})
     enc, plan = select_chunks(spark, dst, doc_id_min=doc_id_min,
-                              doc_id_max=doc_id_max, filters=filters)
+                              doc_id_max=doc_id_max, filters=filters,
+                              doc_ids=doc_ids)
     schema = StructType.fromJson(plan["schema"])
     known = {f.name for f in schema.fields}
 
-    bounded = doc_id_min is not None or doc_id_max is not None
+    bounded = (doc_id_min is not None or doc_id_max is not None
+               or doc_ids is not None)
     if columns is not None:
         unknown = [c for c in columns if c not in known]
         if unknown:
@@ -844,11 +925,18 @@ def decode(spark: SparkSession, dst: str, *, doc_id_min: str | None = None,
         out = out.filter(F.col("doc_id") >= doc_id_min)
     if doc_id_max is not None:
         out = out.filter(F.col("doc_id") <= doc_id_max)
-    for col, (lo, hi) in filters.items():
-        if lo is not None:
-            out = out.filter(F.col(col) >= lo)
-        if hi is not None:
-            out = out.filter(F.col(col) <= hi)
+    if doc_ids is not None:
+        out = out.filter(F.col("doc_id").isin(list(set(doc_ids))))
+    for col, spec in filters.items():
+        conds = []
+        for lo, hi in _normalize_ranges(spec):
+            c = F.lit(True)
+            if lo is not None:
+                c = c & (F.col(col) >= lo)
+            if hi is not None:
+                c = c & (F.col(col) <= hi)
+            conds.append(c)
+        out = out.filter(reduce(lambda a, b: a | b, conds))
     if columns is not None:
         out = out.select(*columns)  # caller's order, not stored-schema order
     return out

@@ -257,9 +257,11 @@ def ivf_topk_stored(spark, dst: str, queries: DataFrame,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     qid_col: str = "query_id") -> DataFrame:
     """IVF search against a :func:`ivf_store` index: only chunks whose
-    cell stats intersect the probed cells are ever decoded (chunk-stat
-    pruning inside :func:`plc.pipeline.decode`), then the probe map joins
-    broadcast on cell exactly like :func:`ivf_topk`."""
+    cell stats intersect the probed cells are ever decoded (multi-range
+    chunk-stat pruning inside :func:`plc.pipeline.decode` — the OR of all
+    probed cell ranges is ONE filter, so scattered probes are still a
+    single scan/Spark job, never a per-range decode loop), then the probe
+    map joins broadcast on cell exactly like :func:`ivf_topk`."""
     import numpy as np
 
     from plc.pipeline import decode
@@ -273,11 +275,9 @@ def ivf_topk_stored(spark, dst: str, queries: DataFrame,
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
     probes = np.argsort(-(Qn @ centroids.astype(np.float64).T),
                         axis=1)[:, :nprobe]
-    corpus = None
-    for lo, hi in _cell_ranges([int(c) for row in probes for c in row]):
-        part = decode(spark, dst, columns=[id_col, vec_col, "cell"],
-                      filters={"cell": (lo, hi)})
-        corpus = part if corpus is None else corpus.unionByName(part)
+    ranges = _cell_ranges([int(c) for row in probes for c in row])
+    corpus = decode(spark, dst, columns=[id_col, vec_col, "cell"],
+                    filters={"cell": ranges})
     pairs = [(int(r[0]), [float(x) for x in r[1]], int(c))
              for r, pr in zip(qrows, probes) for c in pr]
     qdf = spark.createDataFrame(

@@ -503,3 +503,44 @@ def test_cli_lookup_point_query(spark, monkeypatch, capsys):
     lines = [ln for ln in capsys.readouterr().out.splitlines() if ln.strip()]
     rows = [_json.loads(ln) for ln in lines]
     assert len(rows) == 1 and rows[0]["doc_id"] == target
+
+
+def test_batch_lookup_and_multirange_filters(spark):
+    """decode(doc_ids=[...]) fetches N scattered keys in one pruned scan:
+    absent keys (inside chunk ranges) prune every chunk via the broadcast
+    bloom semi-join; present keys return exactly their rows. Multi-range
+    filters ({col: [(lo,hi),...]}) OR ranges in one scan and match the
+    equivalent row filter."""
+    import tempfile
+
+    from plc import data as D
+    from plc.pipeline import (PipelineConfig, decode, encode, select_chunks)
+
+    work = tempfile.mkdtemp(prefix="plc_batchlk_")
+    src_p = work + "/tokens.parquet"
+    D.synth_tokens_parquet(src_p, 400, regime="zipf", seed=11)
+    df = spark.read.parquet(src_p)
+    dst = work + "/store"
+    encode(spark, df, dst,
+           PipelineConfig(num_partitions=4, straggler_parts=0,
+                          max_chunk_values=5_000), mode="overwrite")
+    all_ids = sorted(r[0] for r in df.select("doc_id").collect())
+    keys = all_ids[::37][:8]  # scattered across the id range
+    # present keys: exactly their rows, one scan
+    got = sorted(r["doc_id"] for r in
+                 decode(spark, dst, doc_ids=keys)
+                 .select("doc_id").collect())
+    assert got == sorted(keys)
+    # chunk-touch accounting: hits prune to fewer chunks than a full scan
+    # (scattered keys in a many-chunk store), absent keys to ZERO
+    n_all = select_chunks(spark, dst)[0].count()
+    n_hit = select_chunks(spark, dst, doc_ids=keys)[0].count()
+    absent = [k + "-absent" for k in keys]
+    assert 1 <= n_hit <= n_all and n_all > 4
+    assert select_chunks(spark, dst, doc_ids=absent)[0].count() == 0
+    assert decode(spark, dst, doc_ids=absent).count() == 0
+    # multi-range: two disjoint n_tok bands in ONE decode call
+    bands = [(0, 10), (200, None)]
+    got_n = decode(spark, dst, filters={"n_tok": bands}).count()
+    want_n = df.filter((df.n_tok <= 10) | (df.n_tok >= 200)).count()
+    assert got_n == want_n and want_n > 0
