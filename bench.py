@@ -11,9 +11,11 @@ Prints ONE JSON line:
 
 Extras include raw GB/s throughput, compressed bytes vs the pyarrow
 parquet-cpp zstd+dict baseline on the same rows, and the N-vs-4N scaling
-evidence required by BASELINE.json north_rule (sandbox substitute: same job
-at local[8] and local[32]; efficiency = (T8/T32)/4). Scaling runs can be
-skipped with SPARK_GRAFT_SCALING=0.
+evidence required by BASELINE.json north_rule (sandbox substitute: the
+same job at local[1] vs local[4], interleaved, with an ABSOLUTE
+quiet-baseline contamination gate on process-tree CPU — see the scaling
+block's protocol string and BENCH/quiet_baseline.json). Scaling runs can
+be skipped with SPARK_GRAFT_SCALING=0.
 """
 
 from __future__ import annotations
@@ -243,9 +245,9 @@ def main() -> None:
         #   bandwidth around 8 threads (codec probe: 1→4 efficiency ~1.0,
         #   2→8 borderline), so 1→4 is the widest pair the hardware can
         #   demonstrate; the north rule's N is free.
-        # - runs are INTERLEAVED (1,4,1,4,...) best-of-3 per arm — tenant
-        #   load swings wall ~3x and alternation decorrelates a noise burst
-        #   from one arm of the ratio.
+        # - runs are INTERLEAVED (1,4,1,4,...) — tenant load swings wall
+        #   ~3x and alternation decorrelates a noise burst from one arm of
+        #   the ratio.
         # - the headline efficiency is CPU-based: process-tree CPU seconds
         #   (driver+JVM+workers, plc.procstat) measure the WORK the job
         #   does, immune to tenant wall noise. efficiency_cpu =
@@ -253,7 +255,22 @@ def main() -> None:
         #   throughput on real dedicated executors scales ~linearly;
         #   >= 0.8 means at most 1.25x work inflation — the north rule's
         #   bar. Wall-clock efficiency is reported alongside.
-        def _wait_quiet(max_wait: float = 180.0) -> float:
+        # - ABSOLUTE contamination gate (VERDICT r3 #1): under full
+        #   external contention even process-tree CPU inflates (the
+        #   contended JVM spins, memory-bus thrash raises cycles/insn for
+        #   the Python workers), and a loadavg gate alone provably missed
+        #   such a window (BENCH_r03: every 4-thread sample 1.6-5.7x over
+        #   quiet at loadavg 1.5-3.6). A sample is CLEAN only if its CPU
+        #   and worker-CPU are within gate_factor (1.35x) of the
+        #   committed quiet-window baseline (BENCH/quiet_baseline.json) —
+        #   an external standard, not the pass threshold, so sampling
+        #   until clean cannot bias the statistic. Pairs keep interleaving
+        #   until both arms have a clean sample (min 3, max 8 pairs or
+        #   ~20 min); efficiency is computed over clean samples only. If
+        #   no clean pair exists by the cap, the block is emitted from all
+        #   samples with "contaminated": true — an honest failure, not a
+        #   silent one.
+        def _wait_quiet(max_wait: float = 120.0) -> float:
             # external tenants on this box spin the 4-thread JVM's CPU
             # clock as well as wall; a load-gate before each sample keeps
             # a passing window reachable without unbounded runtime.
@@ -266,48 +283,80 @@ def main() -> None:
                 waited += 10
             return waited
 
-        def _noisy(runs) -> bool:
-            # contamination evidence: CPU samples of one arm spreading
-            # >1.5x means tenants spun our JVM in some samples. This (not
-            # the pass threshold) keys the extra pairs — stopping on the
-            # success criterion would bias the statistic upward.
-            cs = [r["cpu_sec"] for r in runs]
-            return max(cs) > 1.5 * min(cs)
+        qb_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH", "quiet_baseline.json")
+        qb, base = {}, None
+        if os.path.exists(qb_path):
+            with open(qb_path) as f:
+                qb = json.load(f)
+            base = qb.get(f"sf{sf}")
+        gate = float(qb.get("gate_factor", 1.35))
 
+        def _clean(r: dict, arm: str) -> bool:
+            if base is None:
+                return True  # no baseline for this sf: relative gate only
+            return (r["cpu_sec"] <= gate * base[f"{arm}_cpu_sec"] and
+                    r["worker_cpu_sec"]
+                    <= gate * base[f"{arm}_worker_cpu_sec"])
+
+        MAX_PAIRS, BUDGET_SEC = 8, 1200.0
         lo_runs, hi_runs = [], []
-        for i in range(5):
+        t_scaling = time.perf_counter()
+        for i in range(MAX_PAIRS):
             _wait_quiet()
             lo_runs.append(_bench_encode("local[1]", src_path, n_parts,
                                          raw_bytes))
             _wait_quiet()
             hi_runs.append(_bench_encode("local[4]", src_path, n_parts,
                                          raw_bytes))
-            if i >= 2 and not (_noisy(lo_runs) or _noisy(hi_runs)):
-                break  # three mutually-consistent pairs; more adds nothing
-        lo = min(lo_runs, key=lambda r: r["data_path_sec"])
-        hi = min(hi_runs, key=lambda r: r["data_path_sec"])
-        cpu_lo = min(r["cpu_sec"] for r in lo_runs)
-        cpu_hi = min(r["cpu_sec"] for r in hi_runs)
-        wcpu_lo = min(r["worker_cpu_sec"] for r in lo_runs)
-        wcpu_hi = min(r["worker_cpu_sec"] for r in hi_runs)
+            have_clean = (any(_clean(r, "n") for r in lo_runs) and
+                          any(_clean(r, "n4") for r in hi_runs))
+            if i >= 2 and have_clean:
+                break  # >=3 pairs AND a clean sample per arm
+            if time.perf_counter() - t_scaling > BUDGET_SEC and i >= 2:
+                break  # bounded wait under sustained contention
+        lo_clean = [r for r in lo_runs if _clean(r, "n")] or lo_runs
+        hi_clean = [r for r in hi_runs if _clean(r, "n4")] or hi_runs
+        contaminated = not (any(_clean(r, "n") for r in lo_runs)
+                            and any(_clean(r, "n4") for r in hi_runs))
+        lo = min(lo_clean, key=lambda r: r["data_path_sec"])
+        hi = min(hi_clean, key=lambda r: r["data_path_sec"])
+        cpu_lo = min(r["cpu_sec"] for r in lo_clean)
+        cpu_hi = min(r["cpu_sec"] for r in hi_clean)
+        wcpu_lo = min(r["worker_cpu_sec"] for r in lo_clean)
+        wcpu_hi = min(r["worker_cpu_sec"] for r in hi_clean)
         eff_wall = (lo["data_path_sec"] / hi["data_path_sec"]) / 4
         eff_cpu = cpu_lo / cpu_hi
         eff_wcpu = wcpu_lo / wcpu_hi
         result["scaling"] = {
+            # schema_version 2 (since r3): "efficiency" is the CPU-work
+            # ratio cpu(N)/cpu(4N) at local[1] vs local[4], NOT the r1/r2
+            # wall-throughput ratio at local[2] vs local[8] — do not
+            # compare the headline key across schema versions.
+            # efficiency_wall carries the wall metric.
+            "schema_version": 2,
             "n_threads": 1, "n4_threads": 4,
             "protocol": ("interleaved load-gated pairs at local[1] vs "
-                         "local[4]; 3 pairs, extended to 5 only on "
-                         "intra-arm CPU spread >1.5x (contamination "
-                         "evidence, never the pass threshold); headline "
-                         "efficiency = efficiency_cpu = cpu(N)/cpu(4N) "
-                         "over process-tree CPU (work inflation; robust "
-                         "to tenant wall noise unless every sample of an "
-                         "arm is contended); efficiency_worker_cpu "
-                         "restricts to Python-worker CPU (the codec work "
-                         "that multiplies with executors; excludes the "
-                         "JVM's own threads, whose CPU clock spins under "
-                         "external contention); efficiency_wall = "
+                         "local[4], min 3 / max 8 pairs; a sample is "
+                         "CLEAN iff its process-tree CPU and its "
+                         "Python-worker CPU are within gate_factor of "
+                         "the committed quiet-window baseline "
+                         "(BENCH/quiet_baseline.json — an absolute "
+                         "external standard, not the pass threshold); "
+                         "pairs keep interleaving until each arm has a "
+                         "clean sample, and efficiency_cpu = "
+                         "cpu(N)/cpu(4N) is computed over clean samples "
+                         "only (min per arm). contaminated=true flags a "
+                         "window where no clean pair was reachable. "
+                         "efficiency_worker_cpu restricts to "
+                         "Python-worker CPU (the codec work that "
+                         "multiplies with executors); efficiency_wall = "
                          "(wall_N/wall_4N)/4 reported alongside"),
+            "quiet_baseline": base, "gate_factor": gate,
+            "contaminated": contaminated,
+            "n_pairs": len(lo_runs),
+            "n_clean_flags": [_clean(r, "n") for r in lo_runs],
+            "n4_clean_flags": [_clean(r, "n4") for r in hi_runs],
             "n_gbps": lo["gbps"], "n4_gbps": hi["gbps"],
             "n_sec": lo["data_path_sec"], "n4_sec": hi["data_path_sec"],
             "n_cpu_sec": cpu_lo, "n4_cpu_sec": cpu_hi,

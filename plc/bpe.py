@@ -1,0 +1,131 @@
+"""Pluggable real tokenizer: a minimal, dependency-free BPE.
+
+The engine's default tokenizer (:func:`plc.textstats.tokenize`) is a
+deterministic word-hash stand-in chosen because it is a pure JVM
+expression the DuckDB oracles can regenerate. Real curation runs want a
+real vocabulary; this module supplies the contract — a
+:class:`BPETokenizer` loaded from standard ``vocab.json`` +
+``merges.txt`` files (the GPT-2-style public file format: vocab maps
+token string → id, merges lists one space-separated symbol pair per
+line in priority order) — and the Spark-side plumbing to run it as an
+Arrow-batched ``mapInArrow`` kernel (no per-row Python at the DataFrame
+level; the per-word loop is the tokenizer itself, memoized so repeated
+words cost a dict hit).
+
+No tokenizer library exists in this environment, so the implementation
+is self-contained greedy pair-merge BPE over whitespace-split words; the
+test fixture ships a tiny trained merges file. Swapping in a production
+vocabulary is a file path, not a code change.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, functions as F
+
+
+class BPETokenizer:
+    """Greedy byte-pair-encoding tokenizer over whitespace-split words.
+
+    ``vocab``: dict symbol→id. ``merges``: ordered list of (a, b) symbol
+    pairs; earlier = higher priority (standard merges.txt semantics).
+    Unknown residual symbols map to ``unk_id`` (the ``<unk>`` vocab entry
+    when present, else 0) — never a crash on unseen bytes."""
+
+    def __init__(self, vocab: dict[str, int], merges: list[tuple[str, str]]):
+        self.vocab = dict(vocab)
+        self.ranks = {tuple(m): i for i, m in enumerate(merges)}
+        self.unk_id = self.vocab.get("<unk>", 0)
+        self._cache: dict[str, list[int]] = {}
+
+    @classmethod
+    def from_files(cls, vocab_path: str, merges_path: str) -> "BPETokenizer":
+        with open(vocab_path) as f:
+            vocab = json.load(f)
+        merges: list[tuple[str, str]] = []
+        with open(merges_path) as f:
+            for line in f:
+                line = line.rstrip("\n")
+                if not line or line.startswith("#"):
+                    continue  # comment/version header lines
+                a, b = line.split(" ")
+                merges.append((a, b))
+        return cls(vocab, merges)
+
+    def encode_word(self, word: str) -> list[int]:
+        """BPE-merge one word to ids (memoized — corpora repeat words)."""
+        hit = self._cache.get(word)
+        if hit is not None:
+            return hit
+        syms = list(word)
+        while len(syms) > 1:
+            best_rank, best_i = None, -1
+            for i in range(len(syms) - 1):
+                r = self.ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_rank is None:
+                break
+            # merge EVERY occurrence of the winning pair left-to-right
+            a, b = syms[best_i], syms[best_i + 1]
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        ids = [self.vocab.get(s, self.unk_id) for s in syms]
+        self._cache[word] = ids
+        return ids
+
+    def encode_text(self, text: str) -> list[int]:
+        out: list[int] = []
+        for w in text.split(" "):
+            if w:
+                out.extend(self.encode_word(w))
+        return out
+
+
+def tokens_table_bpe(df: DataFrame, tokenizer: BPETokenizer,
+                     text_col: str = "text", id_col: str = "doc_id"
+                     ) -> DataFrame:
+    """documents-shaped table → the engine's input shape using a REAL
+    tokenizer: (doc_id string, tokens array<int>, n_tok int, source
+    passthrough). One Arrow-batched kernel; the tokenizer (with its word
+    cache) broadcasts in the closure like any codec table."""
+    from plc.util import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+    keep = [c for c in ("source",) if c in df.columns]
+    src = df.select(F.col(id_col).cast("string").alias("doc_id"),
+                    F.col(text_col).alias("_text"), *keep)
+    schema = "doc_id string, tokens array<int>, n_tok int" + \
+        "".join(f", {c} string" for c in keep)
+
+    def run(batches):
+        for batch in batches:
+            texts = batch.column("_text").to_pylist()
+            flat: list[int] = []
+            offs = np.zeros(len(texts) + 1, dtype=np.int32)
+            for i, t in enumerate(texts):
+                ids = tokenizer.encode_text(t or "")
+                flat.extend(ids)
+                offs[i + 1] = len(flat)
+            toks = pa.ListArray.from_arrays(
+                pa.array(offs), pa.array(np.array(flat, dtype=np.int32)))
+            cols = [batch.column("doc_id"), toks,
+                    pa.array(np.diff(offs).astype(np.int32))]
+            names = ["doc_id", "tokens", "n_tok"]
+            for c in keep:
+                cols.append(batch.column(c))
+                names.append(c)
+            yield pa.RecordBatch.from_arrays(cols, names=names)
+
+    return src.mapInArrow(run, schema)

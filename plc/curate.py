@@ -28,7 +28,7 @@ def curate(spark: SparkSession, documents: DataFrame, dst: str, *,
            near_dup_threshold: float = 0.7, num_hashes: int = 8,
            bands: int = 4, seed: int = 42, cfg=None,
            benchmark: DataFrame | None = None, decontam_k: int = 13,
-           mode: str = "error") -> dict:
+           tokenizer=None, mode: str = "error") -> dict:
     """Run the full curation funnel over a ``documents``-shaped table
     (doc_id, text, source, ...) and encode the surviving tokens into
     ``dst``. Returns the encode report plus per-stage counters.
@@ -36,7 +36,10 @@ def curate(spark: SparkSession, documents: DataFrame, dst: str, *,
     ``benchmark`` (optional, tokens-shaped: doc_id + tokens) switches on
     the eval-leakage guard: after dedup, any surviving doc sharing a
     ``decontam_k``-gram with the benchmark is dropped
-    (:func:`plc.dedup.decontaminate`)."""
+    (:func:`plc.dedup.decontaminate`).
+
+    ``tokenizer`` (optional :class:`plc.bpe.BPETokenizer`): tokenize with
+    a real vocab/merges BPE instead of the word-hash stand-in."""
     from plc.dedup import decontaminate, dedup_minhash
     from plc.pipeline import PipelineConfig, encode
     from plc.textstats import text_profile, tokens_table
@@ -51,7 +54,7 @@ def curate(spark: SparkSession, documents: DataFrame, dst: str, *,
     kept = kept.localCheckpoint()
     counters["n_quality"] = kept.count()
 
-    tv = tokens_table(kept)
+    tv = tokens_table(kept, tokenizer=tokenizer)
     deduped = dedup_minhash(tv, "doc_id", "tokens",
                             num_hashes=num_hashes, bands=bands, seed=seed,
                             threshold=near_dup_threshold)

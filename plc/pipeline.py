@@ -109,7 +109,12 @@ def build_plan(spark: SparkSession, df: DataFrame, cfg: PipelineConfig) -> dict:
     wcol = _weight_col(df)
     total = df.count()  # parquet sources answer this from footer metadata
     n_parts = cfg.num_partitions or max(8, min(1024, total // 250_000 + 1))
-    frac = min(1.0, cfg.bounds_sample / max(total, 1))
+    # sample size scales with the part count (~200 ids per boundary is
+    # plenty for even range bounds); cfg.bounds_sample stays the ceiling.
+    # Collecting a fixed 100k rows was ~1s of driver wall per encode at
+    # sf0.1 for 36 bounds that 17k rows pin just as well.
+    target = min(cfg.bounds_sample, 10_000 + 200 * n_parts)
+    frac = min(1.0, target / max(total, 1))
     rows = df.select("doc_id", wcol).sample(frac, seed=42).collect()
     sample = sorted(r[0] for r in rows)
     bounds = []
@@ -417,33 +422,52 @@ def _write_and_commit(spark: SparkSession, enc: DataFrame, dst: str,
 
     # manifest (commit point — written after the data, per part).
     # Explicit schema: an empty input writes zero part directories, which
-    # would otherwise fail parquet schema inference.
+    # would otherwise fail parquet schema inference. The roll-up is ONE
+    # Spark job collecting O(parts) rows; zero-markers, the manifest
+    # write, and (on a fresh encode) the report totals are then driver
+    # arithmetic over those rows — the previous shape ran separate
+    # present-ids / write / report-read jobs, ~1.5 s of fixed wall per
+    # encode at any scale.
     written = _read_enc(spark, dst)
-    man = (written.groupBy("part_id")
-           .agg(F.count("*").alias("n_chunks"),
-                F.sum("n_rows").alias("n_rows"),
-                F.sum("n_tokens").alias("n_tokens"),
-                F.sum("raw_bytes").alias("raw_bytes"),
-                F.sum("enc_bytes").alias("enc_bytes"),
-                F.min("min_doc_id").alias("min_doc_id"),
-                F.max("max_doc_id").alias("max_doc_id")))
-    if committed:
-        man = man.filter(~F.col("part_id").isin(list(committed)))
+    man_rows = (written.groupBy("part_id")
+                .agg(F.count("*").alias("n_chunks"),
+                     F.sum("n_rows").alias("n_rows"),
+                     F.sum("n_tokens").alias("n_tokens"),
+                     F.sum("raw_bytes").alias("raw_bytes"),
+                     F.sum("enc_bytes").alias("enc_bytes"),
+                     F.min("min_doc_id").alias("min_doc_id"),
+                     F.max("max_doc_id").alias("max_doc_id"))
+                .collect())
+    man_rows = [tuple(r) for r in man_rows
+                if r["part_id"] not in committed]
     # zero-row commit markers for planned parts that produced no data (e.g.
     # straggler parts with no rows over τ) — without them resume would
     # re-run those parts forever instead of reaching a true no-op
-    present = {r[0] for r in man.select("part_id").collect()}
-    empty_ids = [i for i in range(total_parts)
+    present = {r[0] for r in man_rows}
+    man_rows += [(i, 0, 0, 0, 0, 0, None, None)
+                 for i in range(total_parts)
                  if i not in present and i not in committed]
-    if empty_ids:
-        zeros = spark.createDataFrame(
-            [(i, 0, 0, 0, 0, 0, None, None) for i in empty_ids],
-            "part_id int, n_chunks bigint, n_rows bigint, n_tokens bigint, "
-            "raw_bytes bigint, enc_bytes bigint, min_doc_id string, "
-            "max_doc_id string")
-        man = man.unionByName(zeros)
+    man = spark.createDataFrame(
+        man_rows,
+        "part_id int, n_chunks bigint, n_rows bigint, n_tokens bigint, "
+        "raw_bytes bigint, enc_bytes bigint, min_doc_id string, "
+        "max_doc_id string")
     man.write.mode("append").parquet(_manifest_path(dst))
-    rep = _report(spark, dst, plan, newly_encoded=pending_parts)
+    if committed:
+        # resume: totals span prior manifests too — read them back
+        rep = _report(spark, dst, plan, newly_encoded=pending_parts)
+    else:
+        raw = sum(r[4] for r in man_rows)
+        enc_b = sum(r[5] for r in man_rows)
+        rep = {
+            "n_parts": plan["n_parts"] + plan["straggler_parts"],
+            "committed_parts": len(man_rows),
+            "newly_encoded": pending_parts,
+            "rows": sum(r[2] for r in man_rows),
+            "tokens": sum(r[3] for r in man_rows),
+            "raw_bytes": raw, "enc_bytes": enc_b,
+            "ratio": raw / enc_b if enc_b else 0.0,
+        }
     rep["data_path_sec"] = round(data_path_sec, 3)  # scan+shuffle+encode+write
     return rep
 

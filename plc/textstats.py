@@ -50,9 +50,17 @@ def tokenize(text_col: str | Column = "text", vocab: int = 50257) -> Column:
 
 
 def tokens_table(df, text_col: str = "text", id_col: str = "doc_id",
-                 vocab: int = 50257):
+                 vocab: int = 50257, tokenizer=None):
     """documents-shaped table → the engine's input shape
-    (doc_id string, tokens array<int>, n_tok int, source passthrough)."""
+    (doc_id string, tokens array<int>, n_tok int, source passthrough).
+
+    ``tokenizer``: optional :class:`plc.bpe.BPETokenizer` — a REAL
+    vocab/merges tokenizer applied as an Arrow-batched kernel; omitted,
+    the JVM-expression word-hash stand-in runs (oracle-regenerable)."""
+    if tokenizer is not None:
+        from plc.bpe import tokens_table_bpe
+
+        return tokens_table_bpe(df, tokenizer, text_col, id_col)
     toks = tokenize(text_col, vocab)
     keep = [c for c in ("source",) if c in df.columns]
     return df.select(F.col(id_col).cast("string").alias("doc_id"),

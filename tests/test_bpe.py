@@ -1,0 +1,104 @@
+"""Real-tokenizer hook (plc/bpe.py): vocab/merges BPE loads from the
+standard file format, merges greedily by priority, and drops into
+tokens_table / curate / prepare_training_set — the whole engine path runs
+on REAL token ids, and the default word-hash path (which the DuckDB
+oracles regenerate) is untouched."""
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+FIX = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def _tok():
+    from plc.bpe import BPETokenizer
+
+    return BPETokenizer.from_files(os.path.join(FIX, "bpe_vocab.json"),
+                                   os.path.join(FIX, "bpe_merges.txt"))
+
+
+def test_bpe_merge_semantics():
+    tok = _tok()
+    # "the" -> th+e -> the (second-generation merge wins end-to-end)
+    assert tok.encode_word("the") == [tok.vocab["the"]]
+    assert tok.encode_word("and") == [tok.vocab["and"]]
+    # "thin" -> th + in (priority order: t+h (rank 0) before i+n (rank 2))
+    assert tok.encode_word("thin") == [tok.vocab["th"], tok.vocab["in"]]
+    # unknown byte -> unk id, never a crash
+    assert tok.encode_word("λ") == [tok.unk_id]
+    # memoization returns the identical result
+    assert tok.encode_word("the") == [tok.vocab["the"]]
+    # text = concatenation over whitespace-split words
+    assert tok.encode_text("the and") == [tok.vocab["the"],
+                                          tok.vocab["and"]]
+    assert tok.encode_text("") == []
+
+
+def test_bpe_tokens_table_and_engine_roundtrip(spark):
+    """tokens_table(tokenizer=...) produces the engine input shape from a
+    real BPE, and the result encodes + verifies through the full pipeline
+    (bit-identical round trip on real token ids)."""
+    from plc.pipeline import PipelineConfig, encode, verify
+    from plc.textstats import tokens_table
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    tok = _tok()
+    tv = tokens_table(docs, tokenizer=tok).localCheckpoint()
+    assert tv.columns == ["doc_id", "tokens", "n_tok", "source"]
+    row = tv.filter(F.col("n_tok") > 0).first()
+    # ids actually come from the fixture vocab
+    assert all(0 <= t < 129 for t in row["tokens"])
+    # n_tok invariant holds
+    assert tv.filter(F.size("tokens") != F.col("n_tok")).count() == 0
+    # kernel output == driver-side reference tokenization for a sample
+    sample = docs.select("doc_id", "text").orderBy("doc_id").limit(20) \
+        .collect()
+    got = {r["doc_id"]: list(r["tokens"])
+           for r in tv.join(
+               spark.createDataFrame([(str(s["doc_id"]),) for s in sample],
+                                     "doc_id string"), "doc_id").collect()}
+    for s in sample:
+        assert got[str(s["doc_id"])] == tok.encode_text(s["text"])
+
+    dst = tempfile.mkdtemp(prefix="plc_bpe_rt_")
+    try:
+        encode(spark, tv, dst,
+               PipelineConfig(num_partitions=4, straggler_parts=0),
+               mode="overwrite")
+        assert verify(spark, tv, dst)["mismatches"] == 0
+    finally:
+        shutil.rmtree(dst, ignore_errors=True)
+
+
+def test_bpe_through_curate_and_training_set(spark):
+    """VERDICT r3 #7 done-criterion: a real BPE round-trips through
+    curate() and prepare_training_set() — the curated store decodes to
+    BPE ids, and packed example token totals tile the split corpus."""
+    from plc.curate import curate, hash_split, prepare_training_set
+    from plc.pipeline import decode
+    from plc.textstats import tokens_table
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    tok = _tok()
+    work = tempfile.mkdtemp(prefix="plc_bpe_cur_")
+    try:
+        rep = curate(spark, docs, work + "/store", quality_min=0.2,
+                     tokenizer=tok, mode="overwrite")
+        assert rep["n_input"] >= rep["n_quality"] >= rep["n_deduped"] > 0
+        out = decode(spark, work + "/store")
+        mx = out.agg(F.max(F.array_max("tokens"))).collect()[0][0]
+        assert mx is not None and mx < 129  # fixture-vocab ids, not hashes
+
+        tv = tokens_table(docs, tokenizer=tok).localCheckpoint()
+        reps = prepare_training_set(
+            spark, tv, work + "/train", seq_len=256,
+            weights={"train": 0.8, "val": 0.2}, num_buckets=4,
+            mode="overwrite")
+        total_packed = sum(r["tokens"] for r in reps.values())
+        total_src = tv.agg(F.sum("n_tok")).collect()[0][0]
+        assert total_packed == total_src  # packing tiles the corpus
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

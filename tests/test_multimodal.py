@@ -163,3 +163,67 @@ def test_fake_kernel_any_feature_count():
         feats = fake_feature_kernel(blobs, n_features=n)
         assert feats.shape == (2, n)
         assert np.allclose(feats.sum(axis=1), 1.0)
+
+
+def _wav_bytes(freq_hz, sec, rate=8000, chans=1, width=2, amp=0.5):
+    import io
+    import wave
+
+    t = np.arange(int(rate * sec)) / rate
+    x = (amp * np.sin(2 * np.pi * freq_hz * t)).astype(np.float32)
+    if chans == 2:
+        x = np.repeat(x, 2)
+    pcm = (x * 32767).astype("<i2").tobytes() if width == 2 else \
+        ((x * 127) + 128).astype(np.uint8).tobytes()
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(chans)
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        w.writeframes(pcm)
+    return buf.getvalue()
+
+
+def test_decode_audio_wav_features():
+    """Real audio kernel (stdlib wave — runs in CI, never skipped):
+    duration/rate/channels parse exactly; RMS of a sine tracks a/sqrt(2);
+    undecodable and empty payloads yield zero rows."""
+    from plc.multimodal import decode_audio_wav
+
+    blobs = [
+        _wav_bytes(440, 0.5, rate=8000, amp=0.5),
+        _wav_bytes(100, 0.25, rate=16000, chans=2, amp=0.9),
+        _wav_bytes(50, 0.1, rate=8000, width=1, amp=0.8),
+        b"not a wav at all",
+        b"",
+    ]
+    feats = decode_audio_wav(pa.array(blobs, pa.binary()))
+    assert feats.shape == (5, 8) and feats.dtype == np.float32
+    # clip 0: 0.5 s @ 8 kHz mono 16-bit
+    assert abs(feats[0, 0] - 0.5) < 1e-3      # duration
+    assert abs(feats[0, 1] - 8.0) < 1e-6      # kHz
+    assert feats[0, 2] == 1 and feats[0, 3] == 2
+    assert abs(feats[0, 4] - 0.5 / np.sqrt(2)) < 0.01  # sine RMS = a/√2
+    assert abs(feats[0, 5] - 0.5) < 0.01      # peak ≈ amplitude
+    # clip 1: stereo halves nothing (identical channels average to mono)
+    assert abs(feats[1, 0] - 0.25) < 1e-3 and feats[1, 2] == 2
+    assert abs(feats[1, 4] - 0.9 / np.sqrt(2)) < 0.02
+    # clip 2: 8-bit path decodes (coarse quantization → loose bound)
+    assert abs(feats[2, 4] - 0.8 / np.sqrt(2)) < 0.05
+    # garbage + empty → zero rows, no exception
+    assert not feats[3].any() and not feats[4].any()
+
+
+def test_decode_audio_wav_through_extract_features(spark):
+    """The audio kernel drops into the same mapInArrow plumbing as every
+    other media kernel — end-to-end on a Spark binary column."""
+    from plc.multimodal import decode_audio_wav, extract_features
+
+    rows = [(i, _wav_bytes(200 + 100 * i, 0.2 + 0.1 * i)) for i in range(4)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r["features"] for r in
+           extract_features(df, kernel=decode_audio_wav).collect()}
+    assert len(out) == 4
+    for i in range(4):
+        assert abs(out[i][0] - (0.2 + 0.1 * i)) < 1e-3  # per-clip duration
+        assert abs(out[i][1] - 8.0) < 1e-6
