@@ -80,9 +80,12 @@ def main(argv=None) -> int:
                                  "or more doc_ids (bloom + range chunk "
                                  "pruning; N ids = one batched scan)")
     common(p_look)
-    p_look.add_argument("--doc-id", required=True,
-                        help="one doc_id, or several comma-separated "
-                             "(batch lookup in a single pruned scan)")
+    g = p_look.add_mutually_exclusive_group(required=True)
+    g.add_argument("--doc-id",
+                   help="one doc_id, matched literally (commas included)")
+    g.add_argument("--doc-ids",
+                   help="comma-separated doc_ids: batch lookup in a "
+                        "single pruned scan")
     p_look.add_argument("--columns", default=None,
                         help="comma-separated column subset")
 
@@ -136,11 +139,13 @@ def main(argv=None) -> int:
                 print(json.dumps(row.asDict(), default=str))
         elif args.cmd == "lookup":
             cols = args.columns.split(",") if args.columns else None
-            ids = [d for d in args.doc_id.split(",") if d]
-            if len(ids) == 1:
+            if args.doc_id is not None:
                 out = decode(spark, args.dst, columns=cols,
-                             filters={"doc_id": (ids[0], ids[0])})
+                             filters={"doc_id": (args.doc_id, args.doc_id)})
             else:
+                ids = [d for d in args.doc_ids.split(",") if d]
+                if not ids:
+                    raise ValueError("--doc-ids must name at least one id")
                 out = decode(spark, args.dst, columns=cols, doc_ids=ids)
             for row in out.collect():
                 print(json.dumps(row.asDict(), default=str))

@@ -99,25 +99,33 @@ def decode_audio_wav(payloads: pa.Array, n_features: int = 8
         blob = payloads[i].as_py()
         if not blob:
             continue
+        # the ENTIRE decode sits in the guard: stdlib wave permits
+        # truncated data chunks (readframes byte count not a multiple of
+        # width*channels) and degenerate headers (nchannels=0), which
+        # would otherwise blow up in frombuffer/reshape and fail the
+        # whole batch instead of zeroing the one bad clip
         try:
             with wave.open(io.BytesIO(blob)) as w:
                 rate, chans, width = (w.getframerate(), w.getnchannels(),
                                       w.getsampwidth())
                 frames = w.readframes(w.getnframes())
+            if chans < 1:
+                continue
+            frames = frames[: len(frames) - len(frames) % (width * chans)]
+            if width == 1:  # 8-bit WAV is unsigned
+                x = (np.frombuffer(frames, np.uint8).astype(np.float32)
+                     - 128.0) / 128.0
+            elif width == 2:
+                x = np.frombuffer(frames, "<i2").astype(np.float32) / 32768.0
+            elif width == 4:
+                x = np.frombuffer(frames, "<i4").astype(np.float32) / 2**31
+            else:
+                continue  # 24-bit/float containers: out of stdlib's scope
+            if not x.size:
+                continue
+            mono = x.reshape(-1, chans).mean(axis=1)
         except Exception:
             continue  # undecodable media → zero feature row
-        if width == 1:  # 8-bit WAV is unsigned
-            x = (np.frombuffer(frames, np.uint8).astype(np.float32)
-                 - 128.0) / 128.0
-        elif width == 2:
-            x = np.frombuffer(frames, "<i2").astype(np.float32) / 32768.0
-        elif width == 4:
-            x = np.frombuffer(frames, "<i4").astype(np.float32) / 2**31
-        else:
-            continue  # 24-bit/float containers: out of the stdlib's scope
-        if not x.size:
-            continue
-        mono = x.reshape(-1, chans).mean(axis=1)
         feats = [mono.size / max(rate, 1), rate / 1000.0, float(chans),
                  float(width), float(np.sqrt(np.mean(mono ** 2))),
                  float(np.max(np.abs(mono))),

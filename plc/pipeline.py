@@ -692,14 +692,37 @@ def _read_enc(spark: SparkSession, dst: str) -> DataFrame:
 
 
 def _normalize_ranges(spec) -> list[tuple]:
-    """A filter value is one inclusive (lo, hi) tuple or a list of them
-    (multi-range = OR of ranges — e.g. IVF probing scattered cells in one
-    scan). Returns a non-empty list of (lo, hi) tuples."""
+    """A filter value is one inclusive (lo, hi) pair — tuple or 2-element
+    list of scalars/None — or a list of pairs (multi-range = OR of
+    ranges, e.g. IVF probing scattered cells in one scan). Returns a
+    non-empty list of (lo, hi) tuples."""
     if isinstance(spec, list):
         if not spec:
             raise ValueError("empty range list in filters")
+        if all(not isinstance(x, (list, tuple)) for x in spec):
+            # scalar elements: the JSON-decoded single-range form [lo, hi]
+            if len(spec) == 2:
+                return [tuple(spec)]
+            raise ValueError(
+                f"filter value {spec!r} is neither a (lo, hi) pair nor a "
+                f"list of (lo, hi) pairs")
         return [tuple(r) for r in spec]
     return [tuple(spec)]
+
+
+def _ranges_cond(ranges: list[tuple], lo_cond, hi_cond):
+    """OR over ranges of the AND of per-bound conditions. ``lo_cond`` /
+    ``hi_cond`` map a non-None bound to a Column; a fully-open range is
+    TRUE (no pruning)."""
+    conds = []
+    for lo, hi in ranges:
+        c = F.lit(True)
+        if lo is not None:
+            c = c & lo_cond(lo)
+        if hi is not None:
+            c = c & hi_cond(hi)
+        conds.append(c)
+    return reduce(lambda a, b: a | b, conds)
 
 
 def select_chunks(spark: SparkSession, dst: str, *,
@@ -738,17 +761,10 @@ def select_chunks(spark: SparkSession, dst: str, *,
         ranges = _normalize_ranges(spec)
         if col == wcol and wcol != "_w":
             # typed stat columns: plain comparisons → parquet row-group skip
-            conds = []
-            for lo, hi in ranges:
-                c = F.lit(True)
-                if lo is not None:
-                    c = c & (F.col("max_w").isNull() |
-                             (F.col("max_w") >= lo))
-                if hi is not None:
-                    c = c & (F.col("min_w").isNull() |
-                             (F.col("min_w") <= hi))
-                conds.append(c)
-            enc = enc.filter(reduce(lambda a, b: a | b, conds))
+            enc = enc.filter(_ranges_cond(
+                ranges,
+                lambda lo: F.col("max_w").isNull() | (F.col("max_w") >= lo),
+                lambda hi: F.col("min_w").isNull() | (F.col("min_w") <= hi)))
         else:
             # generic per-chunk stats JSON; chunks with no stat stay
             smin = F.get_json_object("stats", f"$.{col}.min")
@@ -766,32 +782,18 @@ def select_chunks(spark: SparkSession, dst: str, *,
                 for u, x in TEMPORAL_UNIT_TO_US.items():
                     fac = F.when(sunit == u, F.lit(x)).otherwise(fac)
                 slack = TEMPORAL_TZ_SLACK_US
-                conds = []
-                for lo, hi in ranges:
-                    c = F.lit(True)
-                    if lo is not None:
-                        c = c & (smax.isNull() |
-                                 (smax.cast("double") * fac >=
-                                  _temporal_us(lo) - slack))
-                    if hi is not None:
-                        c = c & (smin.isNull() |
-                                 (smin.cast("double") * fac <=
-                                  _temporal_us(hi) + slack))
-                    conds.append(c)
-                enc = enc.filter(reduce(lambda a, b: a | b, conds))
+                enc = enc.filter(_ranges_cond(
+                    ranges,
+                    lambda lo: smax.isNull() | (smax.cast("double") * fac
+                                                >= _temporal_us(lo) - slack),
+                    lambda hi: smin.isNull() | (smin.cast("double") * fac
+                                                <= _temporal_us(hi) + slack)))
                 continue
             cast_t = "string" if dt == "string" else "double"
-            conds = []
-            for lo, hi in ranges:
-                c = F.lit(True)
-                if lo is not None:
-                    c = c & (smax.isNull() |
-                             (smax.cast(cast_t) >= F.lit(lo)))
-                if hi is not None:
-                    c = c & (smin.isNull() |
-                             (smin.cast(cast_t) <= F.lit(hi)))
-                conds.append(c)
-            enc = enc.filter(reduce(lambda a, b: a | b, conds))
+            enc = enc.filter(_ranges_cond(
+                ranges,
+                lambda lo: smax.isNull() | (smax.cast(cast_t) >= F.lit(lo)),
+                lambda hi: smin.isNull() | (smin.cast(cast_t) <= F.lit(hi))))
     probe = None
     if doc_id_min is not None and doc_id_min == doc_id_max:
         probe = doc_id_min
@@ -952,15 +954,10 @@ def decode(spark: SparkSession, dst: str, *, doc_id_min: str | None = None,
     if doc_ids is not None:
         out = out.filter(F.col("doc_id").isin(list(set(doc_ids))))
     for col, spec in filters.items():
-        conds = []
-        for lo, hi in _normalize_ranges(spec):
-            c = F.lit(True)
-            if lo is not None:
-                c = c & (F.col(col) >= lo)
-            if hi is not None:
-                c = c & (F.col(col) <= hi)
-            conds.append(c)
-        out = out.filter(reduce(lambda a, b: a | b, conds))
+        out = out.filter(_ranges_cond(
+            _normalize_ranges(spec),
+            lambda lo, c=col: F.col(c) >= lo,
+            lambda hi, c=col: F.col(c) <= hi))
     if columns is not None:
         out = out.select(*columns)  # caller's order, not stored-schema order
     return out

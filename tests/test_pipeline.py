@@ -532,12 +532,14 @@ def test_batch_lookup_and_multirange_filters(spark):
                  .select("doc_id").collect())
     assert got == sorted(keys)
     # chunk-touch accounting: hits prune to fewer chunks than a full scan
-    # (scattered keys in a many-chunk store), absent keys to ZERO
+    # (scattered keys in a many-chunk store); absent keys survive only by
+    # bloom false positives (bounded budget — ==0 would be a statistical
+    # claim, not an invariant), and decode exactness settles them
     n_all = select_chunks(spark, dst)[0].count()
     n_hit = select_chunks(spark, dst, doc_ids=keys)[0].count()
     absent = [k + "-absent" for k in keys]
     assert 1 <= n_hit <= n_all and n_all > 4
-    assert select_chunks(spark, dst, doc_ids=absent)[0].count() == 0
+    assert select_chunks(spark, dst, doc_ids=absent)[0].count() <= 2
     assert decode(spark, dst, doc_ids=absent).count() == 0
     # multi-range: two disjoint n_tok bands in ONE decode call
     bands = [(0, 10), (200, None)]
