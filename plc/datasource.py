@@ -53,7 +53,8 @@ from pyspark.sql.datasource import (DataSource, DataSourceArrowWriter,
                                     DataSourceReader, DataSourceStreamReader,
                                     EqualTo, GreaterThan, GreaterThanOrEqual,
                                     In, InputPartition, LessThan,
-                                    LessThanOrEqual, WriterCommitMessage)
+                                    LessThanOrEqual, StringStartsWith,
+                                    WriterCommitMessage)
 from pyspark.sql.types import StringType, StructType
 
 # planner fast path: typed per-chunk columns, no stats JSON (see _PlanFS)
@@ -115,6 +116,17 @@ class _PlanFS:
     def read_parquet(self, full_path: str, columns: list[str]):
         return pq.read_table(full_path, columns=columns,
                              filesystem=self.fs)
+
+
+def _prefix_upper(prefix: str) -> str | None:
+    """Smallest practical upper bound for the set of strings starting
+    with ``prefix``: increment the last code point, dropping trailing
+    U+10FFFF characters first. None = unbounded (prefix was entirely
+    U+10FFFF — no finite successor exists)."""
+    p = prefix.rstrip("\U0010ffff")
+    if not p:
+        return None
+    return p[:-1] + chr(ord(p[-1]) + 1)
 
 
 def _load_plan(pfs: "_PlanFS | str", rel: str = "") -> dict:
@@ -254,6 +266,17 @@ class PLCReader(DataSourceReader):
                     self._tighten(col, hi=v)
                 else:
                     self._tighten(col, lo=v, hi=v)
+            elif isinstance(f, StringStartsWith) and len(f.attribute) == 1 \
+                    and f.attribute[0] in self.col_types and f.value:
+                # prefix predicate (startswith / LIKE 'p%'): every match
+                # lies in [p, p+ε) — tighten to that range (superset
+                # pruning; chunk min/max are full strings or parquet-style
+                # truncated bounds, both safe against an inclusive range).
+                # Directly serves the cell-prefixed IVF store layout
+                # (doc_id = "c<cell>-<id>").
+                lo = f.value
+                hi = _prefix_upper(f.value)
+                self._tighten(f.attribute[0], lo=lo, hi=hi)
             elif isinstance(f, In) and len(f.attribute) == 1 \
                     and f.attribute[0] in self.col_types and f.value:
                 vals = [v for v in f.value if v is not None]
@@ -687,6 +710,12 @@ class PLCWriter(DataSourceArrowWriter):
 def register(spark) -> None:
     """Register the ``plc`` format on this session (idempotent). Also
     enables Python data source filter pushdown — a reader that implements
-    ``pushFilters`` hard-fails under Spark's default-off setting."""
+    ``pushFilters`` hard-fails under Spark's default-off setting — and
+    ships the plc package to the Python workers (the data source class
+    unpickles inside them; without shipping, any session whose cwd is
+    not the repo fails with ModuleNotFoundError at first read/write)."""
+    from plc.util import ensure_shipped
+
+    ensure_shipped(spark)
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(PLCDataSource)

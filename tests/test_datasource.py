@@ -160,6 +160,42 @@ def test_planner_reads_stats_lazily_and_scales(spark):
         shutil.rmtree(dst, ignore_errors=True)
 
 
+def test_format_prefix_pushdown(spark):
+    """StringStartsWith pushdown: `startswith`/`LIKE 'p%'` prunes chunks
+    via the [prefix, prefix+ε) range — the access pattern of the
+    cell-prefixed IVF store (doc_id = 'c<cell>-<id>')."""
+    from plc.datasource import PLCReader, _load_plan, _prefix_upper, register
+    from pyspark.sql.datasource import StringStartsWith
+    from pyspark.sql.types import StructType
+
+    # bound helper edge cases first
+    assert _prefix_upper("c00012-") == "c00012." # '-'+1 == '.'
+    assert _prefix_upper("ab\U0010ffff") == "ac"
+    assert _prefix_upper("\U0010ffff") is None
+
+    df = spark.range(400).select(
+        F.format_string("c%05d-%06d", (F.col("id") / 100).cast("int"), "id")
+        .alias("doc_id"), F.lit("x").alias("source"))
+    dst = tempfile.mkdtemp(prefix="plc_ds_prefix_")
+    register(spark)
+    try:
+        (df.repartitionByRange(4, "doc_id").sortWithinPartitions("doc_id")
+         .write.format("plc").option("max_chunk_values", "100")
+         .mode("overwrite").save(dst))
+        out = spark.read.format("plc").load(dst) \
+            .where(F.col("doc_id").startswith("c00002-"))
+        assert out.count() == 100
+        schema = StructType.fromJson(_load_plan(dst)["schema"])
+        r_all = PLCReader(dst, schema)
+        n_all = len(r_all.partitions())
+        r_p = PLCReader(dst, schema)
+        list(r_p.pushFilters([StringStartsWith(("doc_id",), "c00002-")]))
+        n_pruned = len(r_p.partitions())
+        assert 1 <= n_pruned < n_all, (n_pruned, n_all)
+    finally:
+        shutil.rmtree(dst, ignore_errors=True)
+
+
 def test_format_count_star_is_metadata_only(spark, store):
     src, dst = store
     df = spark.read.format("plc").load(dst)
