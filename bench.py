@@ -100,6 +100,34 @@ def _bench_encode(master: str, src_path: str, n_parts: int,
         spark.stop()
 
 
+def _bench_encode_warm(master: str, src_path: str, n_parts: int,
+                       raw_bytes: int) -> dict:
+    """Steady-state data path: two encodes on ONE session, report the
+    second. The cold number charges JVM codegen + the fork/import of ~32
+    Python workers to the data path; on a long-lived cluster (the 100 TB
+    deployment shape) workers are warm — this is the number that
+    extrapolates."""
+    from plc.pipeline import PipelineConfig, encode
+
+    spark = _session(master)
+    try:
+        df = spark.read.parquet(src_path)
+        df.count()
+        runs = []
+        for _ in range(2):
+            dst = tempfile.mkdtemp(prefix="plc_bench_w_")
+            rep = encode(spark, df, dst,
+                         PipelineConfig(num_partitions=n_parts,
+                                        straggler_parts=4),
+                         mode="overwrite")
+            runs.append(rep["data_path_sec"])
+            shutil.rmtree(dst, ignore_errors=True)
+        return {"cold_sec": runs[0], "warm_sec": runs[1],
+                "warm_gbps": round(raw_bytes / runs[1] / 1e9, 4)}
+    finally:
+        spark.stop()
+
+
 def _bench_encode_direct(master: str, src_path: str, n_parts: int,
                          raw_bytes: int) -> dict:
     from plc.pipeline import PipelineConfig, encode_direct
@@ -170,6 +198,11 @@ def main() -> None:
     dr = _bench_encode_direct(f"local[{CPUS}]", src_path, n_parts, raw_bytes)
     timings["encode_direct"] = dr["wall_sec"]
     timings["encode_direct_data_path"] = dr["data_path_sec"]
+    # steady-state: second encode on a warm session — the per-worker
+    # fork/import and JVM codegen are one-time costs a long-lived cluster
+    # never pays per job
+    wm = _bench_encode_warm(f"local[{CPUS}]", src_path, n_parts, raw_bytes)
+    timings["encode_warm_data_path"] = wm["warm_sec"]
 
     # decode+verify and the oracle query surface on one session
     import __spark_entry__ as E

@@ -60,6 +60,11 @@ from pyspark.sql.types import StringType, StructType
 # planner fast path: typed per-chunk columns, no stats JSON (see _PlanFS)
 _RANGE_COLS = ["chunk_idx", "min_doc_id", "max_doc_id", "min_w", "max_w"]
 _PLAN_THREADS = 32
+# chunks per Spark input partition: a default chunk caps at ~4M token
+# values (~16 MB raw), so 4 chunks ≈ 64 MB per task — and a store with
+# few (large) part files still fans out across the cluster instead of
+# decoding one task per file
+_CHUNKS_PER_PART = 4
 
 
 class _PlanFS:
@@ -373,10 +378,12 @@ class PLCReader(DataSourceReader):
                 return False
         return True
 
-    def _plan_file(self, fpath: str) -> "PLCChunkPartition | None":
+    def _plan_file(self, fpath: str) -> "list[PLCChunkPartition]":
         """Prune one encoded file's chunks: read ONLY the typed range
         columns first; fetch the stats JSON (which carries the blooms)
-        iff some chunk survives ranges and a pushed filter needs it."""
+        iff some chunk survives ranges and a pushed filter needs it.
+        Surviving chunks are sliced into partitions of ≤ _CHUNKS_PER_PART
+        so scan parallelism tracks data volume, not file count."""
         meta = self.pfs.read_parquet(fpath, _RANGE_COLS)
         rows = [{c: meta.column(c)[i].as_py() for c in _RANGE_COLS}
                 for i in range(meta.num_rows)]
@@ -386,10 +393,9 @@ class PLCReader(DataSourceReader):
             keep = [i for i in keep
                     if self._survives_stats(json.loads(stats[i].as_py()),
                                             rows[i])]
-        if not keep:
-            return None
-        sel = None if len(keep) == meta.num_rows else keep
-        return PLCChunkPartition(self.pfs, fpath, sel)
+        return [PLCChunkPartition(self.pfs, fpath,
+                                  keep[i : i + _CHUNKS_PER_PART])
+                for i in range(0, len(keep), _CHUNKS_PER_PART)]
 
     def partitions(self):
         # listing + per-file metadata reads fan out on a thread pool
@@ -415,8 +421,10 @@ class PLCReader(DataSourceReader):
                 for infos in pool.map(self.pfs.listdir, sorted(pdirs)):
                     files.extend(sorted(st.path for st in infos
                                         if st.path.endswith(".parquet")))
-            parts = list(pool.map(self._plan_file, files))
-        return [p for p in parts if p is not None]
+            out: list[PLCChunkPartition] = []
+            for plist in pool.map(self._plan_file, files):
+                out.extend(plist)
+        return out
 
     # -- execution (one task per encoded file) ------------------------------
 

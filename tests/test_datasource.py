@@ -196,6 +196,35 @@ def test_format_prefix_pushdown(spark):
         shutil.rmtree(dst, ignore_errors=True)
 
 
+def test_partitions_track_chunks_not_files(spark):
+    """A store with ONE big part file still fans out: surviving chunks
+    are sliced into ≤ _CHUNKS_PER_PART partitions so scan parallelism
+    tracks data volume, not file count — on a cluster, a 4-file store
+    must not decode as 4 tasks."""
+    import __spark_entry__ as E
+    from plc.datasource import (PLCReader, _CHUNKS_PER_PART, _load_plan,
+                                register)
+    from pyspark.sql.types import StructType
+
+    src = E.tokens_view(spark, "/root/testdata/sf0.01")
+    dst = tempfile.mkdtemp(prefix="plc_ds_onefile_")
+    try:
+        encode(spark, src, dst,
+               PipelineConfig(num_partitions=1, straggler_parts=0,
+                              max_chunk_values=4_000), mode="overwrite")
+        n_files = len(glob.glob(os.path.join(dst, "data", "part_id=*",
+                                             "*.parquet")))
+        schema = StructType.fromJson(_load_plan(dst)["schema"])
+        parts = PLCReader(dst, schema).partitions()
+        assert len(parts) > n_files  # more tasks than files
+        assert all(len(p.rows) <= _CHUNKS_PER_PART for p in parts)
+        # and the sliced read still returns every row exactly once
+        register(spark)
+        assert spark.read.format("plc").load(dst).count() == src.count()
+    finally:
+        shutil.rmtree(dst, ignore_errors=True)
+
+
 def test_format_count_star_is_metadata_only(spark, store):
     src, dst = store
     df = spark.read.format("plc").load(dst)
