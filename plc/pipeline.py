@@ -974,8 +974,31 @@ def metrics(spark: SparkSession, dst: str) -> DataFrame:
         .orderBy("part_id"))
 
 
+def codec_report(spark: SparkSession, dst: str) -> DataFrame:
+    """Operational storage breakdown: which codec plane won per column,
+    over how many chunks, at what encoded size. Reads only the chunk
+    METADATA columns (codecs JSON + byte counters — the payload column is
+    never touched, so this is cheap at any store size). One row per
+    (column, codec) with chunk counts and the share of encoded bytes."""
+    committed = spark.read.parquet(_manifest_path(dst)).select("part_id")
+    enc = _read_enc(spark, dst).join(F.broadcast(committed), "part_id",
+                                     "left_semi")
+    per_col = (enc.select(
+        "enc_bytes",
+        F.explode(F.from_json("codecs", "map<string,string>"))
+        .alias("column", "codec")))
+    total = (per_col.groupBy("column", "codec")
+             .agg(F.count("*").alias("n_chunks"),
+                  F.sum("enc_bytes").alias("chunk_bytes")))
+    w = total.agg(F.sum("chunk_bytes")).collect()[0][0] or 1
+    return (total.withColumn(
+        "bytes_share", F.round(F.col("chunk_bytes") / F.lit(w), 4))
+        .orderBy(F.desc("chunk_bytes"), "column", "codec"))
+
+
 def verify(spark: SparkSession, src: DataFrame, dst: str,
-           method: str = "checksum") -> dict:
+           method: str = "checksum", sample: float | None = None,
+           sample_parts: float | None = None) -> dict:
     """P7: per-row token-array equality between source and decoded output
     (BASELINE.json: 'token-array equality per row').
 
@@ -985,8 +1008,55 @@ def verify(spark: SparkSession, src: DataFrame, dst: str,
     aggregate on each side — no join shuffle at all (two scans + two tiny
     aggregates), the method that scales to 10^12 rows. The join method is
     kept for debugging (it names the differing rows). Both return
-    mismatches == 0 on success."""
-    dec = decode(spark, dst)
+    mismatches == 0 on success.
+
+    ``sample``: verify only the rows whose ``crc32(doc_id)`` falls in the
+    given fraction — the SAME key-deterministic subset on both sides, so
+    the comparison stays exact over the subset (a random sample would
+    select different rows per side and always mismatch). Row-level and
+    unbiased, but every chunk is still decoded (a hash predicate cannot
+    use range stats).
+
+    ``sample_parts``: verify the doc_id RANGES of a deterministic
+    fraction of the planned parts — the subset is contiguous key ranges,
+    so chunk pruning eliminates the untouched parts' chunks entirely:
+    decode cost scales with the fraction, the operational spot-check at
+    10^12 rows. Both sides filter the identical inclusive ranges, so the
+    comparison is exact over the subset (straggler-part rows inside a
+    sampled range are included on both sides alike). Composes with
+    either method; combine runs over time to cover the keyspace."""
+    if sample is not None and sample_parts is not None:
+        raise ValueError("pass sample OR sample_parts, not both")
+    if sample_parts is not None:
+        if not 0 < sample_parts <= 1:
+            raise ValueError(f"sample_parts must be in (0, 1], "
+                             f"got {sample_parts}")
+        import hashlib
+
+        plan = _load_plan(spark, dst)
+        bounds, n = plan["bounds"], plan["n_parts"]
+
+        def part_range(i):
+            return (bounds[i - 1] if i > 0 else None,
+                    bounds[i] if i < n - 1 else None)
+
+        order = sorted(range(n), key=lambda i: hashlib.md5(
+            f"verify:{i}".encode()).hexdigest())
+        k = max(1, round(sample_parts * n))
+        ranges = [part_range(i) for i in order[:k]]
+        dec = decode(spark, dst, filters={"doc_id": ranges})
+        src = src.filter(_ranges_cond(
+            ranges,
+            lambda lo: F.col("doc_id") >= lo,
+            lambda hi: F.col("doc_id") <= hi))
+    else:
+        dec = decode(spark, dst)
+    if sample is not None:
+        if not 0 < sample <= 1:
+            raise ValueError(f"sample must be in (0, 1], got {sample}")
+        thresh = int(sample * (1 << 32))
+        pred = F.crc32(F.col("doc_id").cast("binary")) < thresh
+        src, dec = src.filter(pred), dec.filter(pred)
     cols = [c for c in src.columns if c in dec.columns]
     man = spark.read.parquet(_manifest_path(dst))
     sums = man.agg(F.sum("raw_bytes"), F.sum("enc_bytes")).collect()[0]

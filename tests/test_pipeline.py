@@ -546,3 +546,63 @@ def test_batch_lookup_and_multirange_filters(spark):
     got_n = decode(spark, dst, filters={"n_tok": bands}).count()
     want_n = df.filter((df.n_tok <= 10) | (df.n_tok >= 200)).count()
     assert got_n == want_n and want_n > 0
+
+
+def test_sampled_verify_and_codec_report(spark):
+    """verify(sample=f) spot-checks the SAME key-deterministic subset on
+    both sides (exact over the subset — the 10^12-row operational mode),
+    and codec_report breaks storage down per (column, codec) from chunk
+    metadata only."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from plc import data as D
+    from plc.pipeline import (PipelineConfig, codec_report, encode, verify)
+
+    work = tempfile.mkdtemp(prefix="plc_svfy_")
+    src_p = work + "/tokens.parquet"
+    D.synth_tokens_parquet(src_p, 500, regime="zipf", seed=13)
+    df = spark.read.parquet(src_p)
+    dst = work + "/store"
+    encode(spark, df, dst, PipelineConfig(num_partitions=3,
+                                          straggler_parts=0),
+           mode="overwrite")
+    full = verify(spark, df, dst)
+    assert full["mismatches"] == 0
+    for frac in (0.25, 1.0):
+        res = verify(spark, df, dst, sample=frac)
+        assert res["mismatches"] == 0
+        assert res["rows_source"] == res["rows_decoded"]
+        if frac < 1.0:
+            assert 0 < res["rows_source"] < full["rows_source"]
+        else:
+            assert res["rows_source"] == full["rows_source"]
+    # a corrupted source row in the sampled subset IS caught: flip one
+    # row's n_tok and re-verify on the full "sample"
+    bad = df.withColumn(
+        "n_tok", F.when(F.col("doc_id") == df.first()["doc_id"],
+                        F.col("n_tok") + 1).otherwise(F.col("n_tok")))
+    assert verify(spark, bad, dst, sample=1.0)["mismatches"] == 1
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="sample"):
+        verify(spark, df, dst, sample=0.0)
+
+    # part-range sampling: pruned decode, exact over the sampled ranges,
+    # strictly fewer rows than the full verify at fraction < 1
+    from plc.pipeline import select_chunks
+
+    resp = verify(spark, df, dst, sample_parts=1 / 3)
+    assert resp["mismatches"] == 0
+    assert 0 < resp["rows_source"] == resp["rows_decoded"] \
+        < full["rows_source"]
+    assert verify(spark, df, dst, sample_parts=1.0)["rows_source"] \
+        == full["rows_source"]
+    with _pytest.raises(ValueError, match="not both"):
+        verify(spark, df, dst, sample=0.5, sample_parts=0.5)
+
+    rep = codec_report(spark, dst).collect()
+    cols = {r["column"] for r in rep}
+    assert {"doc_id", "tokens", "n_tok", "source"} <= cols
+    assert all(r["n_chunks"] >= 1 for r in rep)
+    assert abs(sum(r["bytes_share"] for r in rep) - 1.0) < 0.05
