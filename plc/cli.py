@@ -70,10 +70,21 @@ def main(argv=None) -> int:
     p_ver.add_argument("--format", default="auto")
     p_ver.add_argument("--method", default="checksum",
                        choices=["checksum", "join"])
+    p_ver.add_argument("--sample", type=float, default=None,
+                       help="row-hash sampled fraction (exact over the "
+                            "key-deterministic subset)")
+    p_ver.add_argument("--sample-parts", type=float, default=None,
+                       help="part-range sampled fraction (chunk-pruned "
+                            "decode; the continuous spot-check mode)")
 
     p_met = sub.add_parser("metrics",
                            help="per-partition lineage/compression metrics")
     common(p_met)
+
+    p_cod = sub.add_parser("codecs",
+                           help="per-(column, codec) storage breakdown "
+                                "from chunk metadata only")
+    common(p_cod)
 
     p_look = sub.add_parser("lookup",
                             help="point lookup: decode the row(s) of one "
@@ -131,11 +142,18 @@ def main(argv=None) -> int:
             print(json.dumps({"written": args.out}))
         elif args.cmd == "verify":
             df = read_tokens(spark, args.src, args.format)
-            res = verify(spark, df, args.dst, method=args.method)
+            res = verify(spark, df, args.dst, method=args.method,
+                         sample=args.sample,
+                         sample_parts=args.sample_parts)
             print(json.dumps(res, default=str))
             return 0 if res["mismatches"] == 0 else 1
         elif args.cmd == "metrics":
             for row in metrics(spark, args.dst).collect():
+                print(json.dumps(row.asDict(), default=str))
+        elif args.cmd == "codecs":
+            from plc.pipeline import codec_report
+
+            for row in codec_report(spark, args.dst).collect():
                 print(json.dumps(row.asDict(), default=str))
         elif args.cmd == "lookup":
             cols = args.columns.split(",") if args.columns else None

@@ -975,11 +975,17 @@ def metrics(spark: SparkSession, dst: str) -> DataFrame:
 
 
 def codec_report(spark: SparkSession, dst: str) -> DataFrame:
-    """Operational storage breakdown: which codec plane won per column,
-    over how many chunks, at what encoded size. Reads only the chunk
-    METADATA columns (codecs JSON + byte counters — the payload column is
-    never touched, so this is cheap at any store size). One row per
-    (column, codec) with chunk counts and the share of encoded bytes."""
+    """Operational codec-mix breakdown: per column, which codec the
+    auto-selector chose and over what fraction of the store. Reads only
+    the chunk METADATA columns (codecs JSON + byte counters — the
+    payload column is never touched, so this is cheap at any store
+    size). One row per (column, codec): how many chunks chose that codec
+    for that column, and ``chunks_enc_bytes`` / ``chunks_share`` — the
+    total encoded size of THOSE CHUNKS and its share of the store (the
+    metadata carries whole-chunk sizes, not per-column frame sizes, so
+    this reads "X% of store bytes sit in chunks where `tokens` chose
+    FORBP", not per-column byte attribution). Within one column the
+    shares sum to 1."""
     committed = spark.read.parquet(_manifest_path(dst)).select("part_id")
     enc = _read_enc(spark, dst).join(F.broadcast(committed), "part_id",
                                      "left_semi")
@@ -989,11 +995,12 @@ def codec_report(spark: SparkSession, dst: str) -> DataFrame:
         .alias("column", "codec")))
     total = (per_col.groupBy("column", "codec")
              .agg(F.count("*").alias("n_chunks"),
-                  F.sum("enc_bytes").alias("chunk_bytes")))
-    w = total.agg(F.sum("chunk_bytes")).collect()[0][0] or 1
+                  F.sum("enc_bytes").alias("chunks_enc_bytes")))
+    store = (enc.agg(F.sum("enc_bytes")).collect()[0][0]) or 1
     return (total.withColumn(
-        "bytes_share", F.round(F.col("chunk_bytes") / F.lit(w), 4))
-        .orderBy(F.desc("chunk_bytes"), "column", "codec"))
+        "chunks_share",
+        F.round(F.col("chunks_enc_bytes") / F.lit(int(store)), 4))
+        .orderBy("column", F.desc("chunks_enc_bytes"), "codec"))
 
 
 def verify(spark: SparkSession, src: DataFrame, dst: str,

@@ -605,4 +605,7 @@ def test_sampled_verify_and_codec_report(spark):
     cols = {r["column"] for r in rep}
     assert {"doc_id", "tokens", "n_tok", "source"} <= cols
     assert all(r["n_chunks"] >= 1 for r in rep)
-    assert abs(sum(r["bytes_share"] for r in rep) - 1.0) < 0.05
+    # per column, the codec-choice shares partition the store's bytes
+    for c in cols:
+        assert abs(sum(r["chunks_share"] for r in rep
+                       if r["column"] == c) - 1.0) < 0.05, c
