@@ -195,3 +195,23 @@ def test_bloom_no_false_negatives(present, probe):
         # no assertion on the outcome (FPs allowed) — but the probe must
         # never raise on arbitrary unicode
         bloom_might_contain(st_, probe)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(min_size=1, max_size=12), st.text(min_size=0, max_size=12))
+def test_prefix_upper_bounds_every_extension(prefix, suffix):
+    """StringStartsWith pushdown safety: every string extending `prefix`
+    must satisfy prefix <= s <= _prefix_upper(prefix) (inclusive range
+    used for chunk pruning), for ANY unicode prefix — an upper bound
+    that excluded a real match would silently drop chunks."""
+    from plc.datasource import _prefix_upper
+
+    s = prefix + suffix
+    upper = _prefix_upper(prefix)
+    assert s >= prefix
+    if upper is not None:
+        assert s <= upper, (prefix, suffix, upper)
+    # and the bound is a genuine non-match boundary: upper itself never
+    # extends a prefix whose last kept char was incremented past it
+    if upper is not None:
+        assert not upper.startswith(prefix) or upper == prefix
