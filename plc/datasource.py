@@ -432,6 +432,38 @@ class PLCReader(DataSourceReader):
         yield from _read_chunk_partition(partition, self.schema)
 
 
+def _read_selected(pfs: _PlanFS, file: str, columns: list[str],
+                   rows: "list[int] | None"):
+    """Read ``columns`` for the given global row indices, touching ONLY
+    the parquet row groups that contain them — a chunk-sliced partition
+    of a K-chunk file must not re-read (or materialize) the whole
+    payload column per task. Returns (table, local_indices); local is
+    None when every row was read. Files written as one big row group
+    (older stores / small stores) degrade to the previous full read."""
+    import bisect
+
+    with pfs.fs.open_input_file(file) as f:
+        pf = pq.ParquetFile(f)
+        md = pf.metadata
+        if rows is None or md.num_row_groups <= 1:
+            tbl = pf.read(columns=columns)
+            return tbl, rows
+        starts, acc = [], 0
+        for g in range(md.num_row_groups):
+            starts.append(acc)
+            acc += md.row_group(g).num_rows
+        rg_of = {r: bisect.bisect_right(starts, r) - 1
+                 for r in set(rows)}
+        rgs = sorted(set(rg_of.values()))
+        tbl = pf.read_row_groups(rgs, columns=columns)
+        off, o = {}, 0
+        for g in rgs:
+            off[g] = o
+            o += md.row_group(g).num_rows
+        local = [off[rg_of[r]] + (r - starts[rg_of[r]]) for r in rows]
+        return tbl, local
+
+
 def _read_chunk_partition(partition: PLCChunkPartition | None,
                           schema: StructType):
     """Executor-side decode of one chunk-file partition (shared by the
@@ -446,18 +478,18 @@ def _read_chunk_partition(partition: PLCChunkPartition | None,
     if not names:
         # zero-column projection (SELECT count(*)): row counts come
         # from the chunk metadata, no frame is ever decoded
-        tbl = partition.pfs.read_parquet(partition.file, ["n_rows"])
+        tbl, local = _read_selected(partition.pfs, partition.file,
+                                    ["n_rows"], partition.rows)
         rows = tbl.column("n_rows").to_pylist()
-        idxs = (range(len(rows)) if partition.rows is None
-                else partition.rows)
+        idxs = range(len(rows)) if local is None else local
         for i in idxs:
             yield pa.RecordBatch.from_struct_array(
                 pa.array([{}] * rows[i], pa.struct([])))
         return
-    tbl = partition.pfs.read_parquet(partition.file, ["payload"])
+    tbl, local = _read_selected(partition.pfs, partition.file,
+                                ["payload"], partition.rows)
     payloads = tbl.column("payload")
-    idxs = (range(len(payloads)) if partition.rows is None
-            else partition.rows)
+    idxs = range(len(payloads)) if local is None else local
     for i in idxs:
         rb = unpack_chunk(payloads[i].as_buffer(), columns=names)
         yield rb.select(names)
@@ -653,8 +685,11 @@ class PLCWriter(DataSourceArrowWriter):
         os.makedirs(sdir, exist_ok=True)
         fname = f"part-{pid:05d}-{uuid.uuid4().hex}.parquet"
         tbl = pa.Table.from_batches(enc_rows).drop_columns(["part_id"])
+        # one row group per partition slice so sliced readers touch only
+        # their own chunks' bytes (_read_selected)
         pq.write_table(tbl, os.path.join(sdir, fname),
-                       compression="none")
+                       compression="none",
+                       row_group_size=_CHUNKS_PER_PART)
         return PLCCommit(pid, fname, chunk_idx, totals["rows"],
                          totals["tokens"], totals["raw"], totals["enc"],
                          min(mins), max(maxs))

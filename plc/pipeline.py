@@ -415,8 +415,13 @@ def _write_and_commit(spark: SparkSession, enc: DataFrame, dst: str,
                             os.path.join(_data_path(dst), f"part_id={i}"))
 
     t0 = time.perf_counter()
+    # 64 MB row groups (~4 full chunks): the format reader slices files
+    # into few-chunk partitions and reads only the row groups holding
+    # its chunks — one giant row group would force every slice to read
+    # the whole file
     (enc.write.partitionBy("part_id").mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")  # write-scoped, not session
+        .option("parquet.block.size", str(64 << 20))
         .option("compression", "uncompressed").parquet(_data_path(dst)))
     data_path_sec = time.perf_counter() - t0
 
@@ -993,19 +998,47 @@ def codec_report(spark: SparkSession, dst: str) -> DataFrame:
         "enc_bytes",
         F.explode(F.from_json("codecs", "map<string,string>"))
         .alias("column", "codec")))
+    from pyspark.sql import Window
+
     total = (per_col.groupBy("column", "codec")
              .agg(F.count("*").alias("n_chunks"),
                   F.sum("enc_bytes").alias("chunks_enc_bytes")))
-    store = (enc.agg(F.sum("enc_bytes")).collect()[0][0]) or 1
+    # per-column window: every chunk lists every column once, so the
+    # column's codec rows sum to the store total — one lazy plan, no
+    # eager second metadata scan
+    w = Window.partitionBy("column")
     return (total.withColumn(
         "chunks_share",
-        F.round(F.col("chunks_enc_bytes") / F.lit(int(store)), 4))
+        F.round(F.col("chunks_enc_bytes")
+                / F.sum("chunks_enc_bytes").over(w), 4))
         .orderBy("column", F.desc("chunks_enc_bytes"), "codec"))
+
+
+def _sampled_part_ranges(spark: SparkSession, dst: str, fraction: float,
+                         seed: int) -> list[tuple]:
+    """Deterministic part-range sample for :func:`verify`: pick
+    ``fraction`` of the committed parts by md5(seed, part_id) order and
+    return their ACTUAL (min_doc_id, max_doc_id) ranges from the
+    manifest — works for any store (the format writer commits
+    ``bounds=[]``, so plan bounds are not assumed), includes straggler
+    parts, and different seeds rotate coverage across runs."""
+    import hashlib
+
+    rows = (spark.read.parquet(_manifest_path(dst))
+            .select("part_id", "min_doc_id", "max_doc_id")
+            .filter(F.col("min_doc_id").isNotNull()).collect())
+    if not rows:
+        raise ValueError(f"{dst} has no committed non-empty parts to "
+                         f"sample")
+    order = sorted(rows, key=lambda r: hashlib.md5(
+        f"verify:{seed}:{r['part_id']}".encode()).hexdigest())
+    k = max(1, round(fraction * len(rows)))
+    return [(r["min_doc_id"], r["max_doc_id"]) for r in order[:k]]
 
 
 def verify(spark: SparkSession, src: DataFrame, dst: str,
            method: str = "checksum", sample: float | None = None,
-           sample_parts: float | None = None) -> dict:
+           sample_parts: float | None = None, seed: int = 0) -> dict:
     """P7: per-row token-array equality between source and decoded output
     (BASELINE.json: 'token-array equality per row').
 
@@ -1024,33 +1057,29 @@ def verify(spark: SparkSession, src: DataFrame, dst: str,
     unbiased, but every chunk is still decoded (a hash predicate cannot
     use range stats).
 
-    ``sample_parts``: verify the doc_id RANGES of a deterministic
-    fraction of the planned parts — the subset is contiguous key ranges,
-    so chunk pruning eliminates the untouched parts' chunks entirely:
-    decode cost scales with the fraction, the operational spot-check at
-    10^12 rows. Both sides filter the identical inclusive ranges, so the
-    comparison is exact over the subset (straggler-part rows inside a
-    sampled range are included on both sides alike). Composes with
-    either method; combine runs over time to cover the keyspace."""
+    ``sample_parts``: verify the ACTUAL manifest doc_id ranges of a
+    deterministic fraction of the committed parts — the subset is
+    contiguous key ranges, so chunk pruning eliminates the untouched
+    parts' chunks entirely: decode cost scales with the fraction, the
+    operational spot-check at 10^12 rows. Both sides filter the
+    identical inclusive ranges, so the comparison is exact over the
+    subset (straggler-part rows inside a sampled range are included on
+    both sides alike; overlapping part ranges are fine for the same
+    reason). Composes with either method. ``seed`` rotates WHICH parts
+    are picked — vary it per run (e.g. the day number) so repeated
+    spot-checks sweep the keyspace instead of re-verifying one fixed
+    subset.
+
+    Either sampled mode raises if its subset turns out empty: a vacuous
+    "0 rows compared, 0 mismatches" pass must never look like a real
+    one."""
     if sample is not None and sample_parts is not None:
         raise ValueError("pass sample OR sample_parts, not both")
     if sample_parts is not None:
         if not 0 < sample_parts <= 1:
             raise ValueError(f"sample_parts must be in (0, 1], "
                              f"got {sample_parts}")
-        import hashlib
-
-        plan = _load_plan(spark, dst)
-        bounds, n = plan["bounds"], plan["n_parts"]
-
-        def part_range(i):
-            return (bounds[i - 1] if i > 0 else None,
-                    bounds[i] if i < n - 1 else None)
-
-        order = sorted(range(n), key=lambda i: hashlib.md5(
-            f"verify:{i}".encode()).hexdigest())
-        k = max(1, round(sample_parts * n))
-        ranges = [part_range(i) for i in order[:k]]
+        ranges = _sampled_part_ranges(spark, dst, sample_parts, seed)
         dec = decode(spark, dst, filters={"doc_id": ranges})
         src = src.filter(_ranges_cond(
             ranges,
@@ -1061,7 +1090,7 @@ def verify(spark: SparkSession, src: DataFrame, dst: str,
     if sample is not None:
         if not 0 < sample <= 1:
             raise ValueError(f"sample must be in (0, 1], got {sample}")
-        thresh = int(sample * (1 << 32))
+        thresh = max(1, int(sample * (1 << 32)))
         pred = F.crc32(F.col("doc_id").cast("binary")) < thresh
         src, dec = src.filter(pred), dec.filter(pred)
     cols = [c for c in src.columns if c in dec.columns]
@@ -1079,6 +1108,7 @@ def verify(spark: SparkSession, src: DataFrame, dst: str,
             return (row["n"], row["hsum"], row["hmod"])
 
         s_sig, d_sig = _sig(src.select(*cols)), _sig(dec.select(*cols))
+        _guard_vacuous(sample, sample_parts, s_sig[0], d_sig[0])
         return {**base, "mismatches": int(s_sig != d_sig),
                 "rows_source": s_sig[0], "rows_decoded": d_sig[0],
                 "method": "checksum"}
@@ -1088,5 +1118,16 @@ def verify(spark: SparkSession, src: DataFrame, dst: str,
     eq = reduce(lambda a, b: a & b,
                 [F.col(f"s.{c}").eqNullSafe(F.col(f"d.{c}")) for c in cols])
     bad = j.filter(~eq).count()
-    return {**base, "mismatches": bad, "rows_source": src.count(),
-            "rows_decoded": dec.count(), "method": "join"}
+    n_s, n_d = src.count(), dec.count()
+    _guard_vacuous(sample, sample_parts, n_s, n_d)
+    return {**base, "mismatches": bad, "rows_source": n_s,
+            "rows_decoded": n_d, "method": "join"}
+
+
+def _guard_vacuous(sample, sample_parts, n_src: int, n_dec: int) -> None:
+    if (sample is not None or sample_parts is not None) \
+            and n_src == 0 and n_dec == 0:
+        raise ValueError(
+            "sampled verify matched zero rows on both sides — a vacuous "
+            "pass; raise the fraction (or change the seed) so the subset "
+            "is non-empty")

@@ -225,6 +225,54 @@ def test_partitions_track_chunks_not_files(spark):
         shutil.rmtree(dst, ignore_errors=True)
 
 
+def test_read_selected_touches_only_needed_row_groups():
+    """_read_selected maps global row indices to row groups and reads
+    only those — the K-chunk/one-file fan-out must not cost ceil(K/4)
+    full-file reads."""
+    import pyarrow as pa
+
+    from plc.datasource import _PlanFS, _read_selected
+
+    d = tempfile.mkdtemp(prefix="plc_rgsel_")
+    try:
+        f = os.path.join(d, "t.parquet")
+        tbl = pa.table({"v": list(range(20))})
+        pq.write_table(tbl, f, row_group_size=3)  # 7 row groups
+        pfs = _PlanFS(d)
+        got, local = _read_selected(pfs, f, ["v"], [4, 17, 5])
+        vals = got.column("v").to_pylist()
+        assert [vals[i] for i in local] == [4, 17, 5]
+        # only the two needed row groups were read (rows 3..5 and 15..17)
+        assert got.num_rows == 6
+        # full read path (rows=None) unchanged
+        full, loc = _read_selected(pfs, f, ["v"], None)
+        assert loc is None and full.num_rows == 20
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_format_written_store_supports_sampled_verify(spark):
+    """Regression: the format writer commits bounds=[], so sampled
+    verify must derive part ranges from the MANIFEST, not plan bounds
+    (it crashed with IndexError before)."""
+    from plc.datasource import register
+    from plc.pipeline import verify
+
+    register(spark)
+    df = spark.range(300).select(
+        F.format_string("d%06d", "id").alias("doc_id"),
+        F.lit("s").alias("source"))
+    dst = tempfile.mkdtemp(prefix="plc_ds_sv_") + "/store"
+    try:
+        (df.repartitionByRange(4, "doc_id").sortWithinPartitions("doc_id")
+         .write.format("plc").mode("overwrite").save(dst))
+        res = verify(spark, df, dst, sample_parts=0.5)
+        assert res["mismatches"] == 0 and res["rows_source"] > 0
+        assert verify(spark, df, dst)["mismatches"] == 0
+    finally:
+        shutil.rmtree(os.path.dirname(dst), ignore_errors=True)
+
+
 def test_format_count_star_is_metadata_only(spark, store):
     src, dst = store
     df = spark.read.format("plc").load(dst)

@@ -590,7 +590,7 @@ def test_sampled_verify_and_codec_report(spark):
 
     # part-range sampling: pruned decode, exact over the sampled ranges,
     # strictly fewer rows than the full verify at fraction < 1
-    from plc.pipeline import select_chunks
+    from plc.pipeline import _sampled_part_ranges, select_chunks
 
     resp = verify(spark, df, dst, sample_parts=1 / 3)
     assert resp["mismatches"] == 0
@@ -598,8 +598,20 @@ def test_sampled_verify_and_codec_report(spark):
         < full["rows_source"]
     assert verify(spark, df, dst, sample_parts=1.0)["rows_source"] \
         == full["rows_source"]
+    # the sampled ranges actually PRUNE chunks (decode cost scales with
+    # the fraction), and a different seed picks a different subset
+    ranges = _sampled_part_ranges(spark, dst, 1 / 3, seed=0)
+    n_all = select_chunks(spark, dst)[0].count()
+    n_sel = select_chunks(spark, dst,
+                          filters={"doc_id": ranges})[0].count()
+    assert 0 < n_sel < n_all
+    seeds = {tuple(_sampled_part_ranges(spark, dst, 1 / 3, seed=s))
+             for s in range(6)}
+    assert len(seeds) > 1, "seed must rotate the sampled parts"
     with _pytest.raises(ValueError, match="not both"):
         verify(spark, df, dst, sample=0.5, sample_parts=0.5)
+    with _pytest.raises(ValueError, match="vacuous|zero rows"):
+        verify(spark, df, dst, sample=1e-12)
 
     rep = codec_report(spark, dst).collect()
     cols = {r["column"] for r in rep}
