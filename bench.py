@@ -324,6 +324,7 @@ def main() -> None:
                 qb = json.load(f)
             base = qb.get(f"sf{sf}")
         gate = float(qb.get("gate_factor", 1.35))
+        extend = float(qb.get("extend_factor", 1.15))
 
         def _clean(r: dict, arm: str) -> bool:
             if base is None:
@@ -355,6 +356,21 @@ def main() -> None:
             if base is not None:
                 have_clean = (any(_clean(r, "n") for r in lo_runs) and
                               any(_clean(r, "n4") for r in hi_runs))
+                # drift extension: when even the best CLEAN sample of an
+                # arm sits >extend_factor over the quiet anchor, the
+                # window is running slow (between-windows tenant drift
+                # that passes the 1.35x gate but skews an asymmetric
+                # ratio) — keep sampling for a closer-to-anchor sample.
+                # Keyed to the external anchor, never to the computed
+                # efficiency, so it cannot bias the statistic.
+                if have_clean:
+                    cm_lo = min(r["cpu_sec"] for r in lo_runs
+                                if _clean(r, "n"))
+                    cm_hi = min(r["cpu_sec"] for r in hi_runs
+                                if _clean(r, "n4"))
+                    if (cm_lo > extend * base["n_cpu_sec"]
+                            or cm_hi > extend * base["n4_cpu_sec"]):
+                        have_clean = False
             else:
                 # relative fallback: extend while an arm's samples spread
                 # beyond the gate (contamination evidence — the old
@@ -401,7 +417,11 @@ def main() -> None:
                          "(BENCH/quiet_baseline.json — an absolute "
                          "external standard, not the pass threshold); "
                          "pairs keep interleaving until each arm has a "
-                         "clean sample, and efficiency_cpu = "
+                         "clean sample AND the best clean sample per "
+                         "arm is within extend_factor of the anchor "
+                         "(between-windows drift evidence, still keyed "
+                         "to the external anchor, never to the computed "
+                         "efficiency), and efficiency_cpu = "
                          "cpu(N)/cpu(4N) is computed over clean samples "
                          "only (min per arm). contaminated=true flags a "
                          "window where no clean pair was reachable. "
@@ -410,6 +430,7 @@ def main() -> None:
                          "multiplies with executors); efficiency_wall = "
                          "(wall_N/wall_4N)/4 reported alongside"),
             "quiet_baseline": base, "gate_factor": gate,
+            "extend_factor": extend,
             "baseline_missing": base is None,
             "contaminated": contaminated,
             "n_pairs": len(lo_runs),
