@@ -227,3 +227,58 @@ def test_decode_audio_wav_through_extract_features(spark):
     for i in range(4):
         assert abs(out[i][0] - (0.2 + 0.1 * i)) < 1e-3  # per-clip duration
         assert abs(out[i][1] - 8.0) < 1e-6
+
+
+def _y4m_bytes(w, h, frames, fps=(25, 1), chroma=b"420", levels=None):
+    head = b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 C%s\n" % (
+        w, h, fps[0], fps[1], chroma)
+    cb = (0 if chroma.startswith(b"mono") else
+          2 * w * h if chroma.startswith(b"444") else
+          w * h if chroma.startswith(b"422") else w * h // 2)
+    body = b""
+    for f in range(frames):
+        lv = 128 if levels is None else levels[f]
+        body += b"FRAME\n" + bytes([lv]) * (w * h) + b"\x80" * cb
+    return head + body
+
+
+def test_decode_video_y4m_features():
+    """Real video kernel (raw YUV4MPEG2, numpy-only — runs in CI, never
+    skipped): header geometry/fps parse exactly, luma stats and
+    frame-to-frame motion compute from the planes, and garbage /
+    truncated clips zero out instead of failing the batch."""
+    from plc.multimodal import decode_video_y4m
+
+    blobs = [
+        _y4m_bytes(8, 4, 3, fps=(30, 1), levels=[0, 255, 0]),
+        _y4m_bytes(4, 4, 1, chroma=b"mono"),
+        _y4m_bytes(4, 2, 2, chroma=b"444"),
+        b"RIFFnot a video",
+        _y4m_bytes(8, 4, 2)[:40],  # truncated mid-frame
+    ]
+    feats = decode_video_y4m(pa.array(blobs, pa.binary()))
+    assert feats.shape == (5, 8) and feats.dtype == np.float32
+    # clip 0: 3 frames @30fps, 8x4, alternating black/white → motion = 1
+    assert feats[0, 0] == 3 and abs(feats[0, 1] - 30) < 1e-6
+    assert feats[0, 2] == 8 and feats[0, 3] == 4
+    assert abs(feats[0, 4] - (255 / 255 / 3)) < 1e-3   # mean luma 1/3
+    assert abs(feats[0, 6] - 1.0) < 1e-3               # full-swing motion
+    assert abs(feats[0, 7] - 0.1) < 1e-6               # 3 frames / 30 fps
+    # clip 1: mono chroma single frame, constant 128 luma, zero motion
+    assert feats[1, 0] == 1 and abs(feats[1, 4] - 128 / 255) < 1e-3
+    assert feats[1, 6] == 0.0
+    # clip 2: 4:4:4 parses both frames
+    assert feats[2, 0] == 2
+    # garbage + truncated-before-any-complete-frame → zero rows
+    assert not feats[3].any() and not feats[4].any()
+
+
+def test_decode_video_y4m_through_extract_features(spark):
+    from plc.multimodal import decode_video_y4m, extract_features
+
+    rows = [(i, _y4m_bytes(4, 4, i + 1)) for i in range(3)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r["features"] for r in
+           extract_features(df, kernel=decode_video_y4m).collect()}
+    for i in range(3):
+        assert out[i][0] == i + 1  # per-clip frame count
