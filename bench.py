@@ -326,6 +326,27 @@ def main() -> None:
         gate = float(qb.get("gate_factor", 1.35))
         extend = float(qb.get("extend_factor", 1.15))
 
+        def _drifted(lo_runs, hi_runs) -> bool:
+            # between-windows drift: even the best CLEAN sample of an arm
+            # sits >extend_factor over the quiet anchor — on EITHER CPU
+            # measure (the worker headline can drift while tree CPU stays
+            # under the trigger: workers are ~half of tree CPU, so +25%
+            # worker drift is only ~+13% tree). Keyed to the committed
+            # anchor, never the computed efficiency.
+            if base is None:
+                return False
+            for runs, arm in ((lo_runs, "n"), (hi_runs, "n4")):
+                cl = [r for r in runs if _clean(r, arm)]
+                if not cl:
+                    return True
+                if min(r["cpu_sec"] for r in cl) \
+                        > extend * base[f"{arm}_cpu_sec"]:
+                    return True
+                if min(r["worker_cpu_sec"] for r in cl) \
+                        > extend * base[f"{arm}_worker_cpu_sec"]:
+                    return True
+            return False
+
         def _clean(r: dict, arm: str) -> bool:
             if base is None:
                 # no committed baseline for this sf: fall back to a
@@ -363,14 +384,8 @@ def main() -> None:
                 # ratio) — keep sampling for a closer-to-anchor sample.
                 # Keyed to the external anchor, never to the computed
                 # efficiency, so it cannot bias the statistic.
-                if have_clean:
-                    cm_lo = min(r["cpu_sec"] for r in lo_runs
-                                if _clean(r, "n"))
-                    cm_hi = min(r["cpu_sec"] for r in hi_runs
-                                if _clean(r, "n4"))
-                    if (cm_lo > extend * base["n_cpu_sec"]
-                            or cm_hi > extend * base["n4_cpu_sec"]):
-                        have_clean = False
+                if have_clean and _drifted(lo_runs, hi_runs):
+                    have_clean = False
             else:
                 # relative fallback: extend while an arm's samples spread
                 # beyond the gate (contamination evidence — the old
@@ -387,11 +402,19 @@ def main() -> None:
         if base is not None:
             contaminated = not (any(_clean(r, "n") for r in lo_runs)
                                 and any(_clean(r, "n4") for r in hi_runs))
+            # the drift extension can exhaust the pair cap without ever
+            # finding an anchor-close clean sample — that unresolved
+            # state must be visible in the artifact, or a drift-skewed
+            # efficiency looks identical to a converged one (the r4c
+            # failure mode)
+            drift_unresolved = (not contaminated
+                                and _drifted(lo_runs, hi_runs))
         else:
             # relative fallback: persistent intra-arm spread past the cap
             # is the only contamination evidence available
             contaminated = not (all(_clean(r, "n") for r in lo_runs)
                                 and all(_clean(r, "n4") for r in hi_runs))
+            drift_unresolved = False
         lo = min(lo_clean, key=lambda r: r["data_path_sec"])
         hi = min(hi_clean, key=lambda r: r["data_path_sec"])
         cpu_lo = min(r["cpu_sec"] for r in lo_clean)
@@ -433,6 +456,7 @@ def main() -> None:
             "extend_factor": extend,
             "baseline_missing": base is None,
             "contaminated": contaminated,
+            "drift_unresolved": drift_unresolved,
             "n_pairs": len(lo_runs),
             "n_clean_flags": [_clean(r, "n") for r in lo_runs],
             "n4_clean_flags": [_clean(r, "n4") for r in hi_runs],

@@ -76,6 +76,10 @@ def main(argv=None) -> int:
     p_ver.add_argument("--sample-parts", type=float, default=None,
                        help="part-range sampled fraction (chunk-pruned "
                             "decode; the continuous spot-check mode)")
+    p_ver.add_argument("--seed", type=int, default=0,
+                       help="rotates WHICH parts --sample-parts picks; "
+                            "vary per run (e.g. day number) to sweep "
+                            "the keyspace")
 
     p_met = sub.add_parser("metrics",
                            help="per-partition lineage/compression metrics")
@@ -144,7 +148,7 @@ def main(argv=None) -> int:
             df = read_tokens(spark, args.src, args.format)
             res = verify(spark, df, args.dst, method=args.method,
                          sample=args.sample,
-                         sample_parts=args.sample_parts)
+                         sample_parts=args.sample_parts, seed=args.seed)
             print(json.dumps(res, default=str))
             return 0 if res["mismatches"] == 0 else 1
         elif args.cmd == "metrics":

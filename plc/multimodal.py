@@ -7,13 +7,16 @@ ordinary planes for metadata). Operators run as Arrow-batched
 Spark side; the per-batch kernel is numpy over the concatenated payload
 bytes.
 
-The actual media libraries (PIL/libsndfile/ffmpeg) are NOT in this
-container, so the decode kernels are gated: :func:`decode_image_real`
-raises ``NotImplementedError`` unless PIL is importable, and every operator
-accepts the deterministic :func:`fake_feature_kernel` stand-in so the
-Spark-side plumbing — schema, batch shapes, partitioning, column pruning —
-is fully real and tested. Swapping in a real kernel changes one callable.
-"""
+All three modalities have REAL kernels: :func:`decode_audio_wav` (stdlib
+``wave``, PCM) and :func:`decode_video_y4m` (raw YUV4MPEG2, pure numpy)
+run everywhere with no optional dependency; :func:`decode_image_real` is
+the one gated kernel (raises ``NotImplementedError`` unless PIL is
+importable — compressed image/video codecs need a media library, which
+this container does not ship). Every operator also accepts the
+deterministic :func:`fake_feature_kernel` stand-in, so the Spark-side
+plumbing — schema, batch shapes, partitioning, column pruning — is
+testable independent of any format. Swapping kernels changes one
+callable."""
 
 from __future__ import annotations
 
@@ -179,30 +182,52 @@ def decode_video_y4m(payloads: pa.Array, n_features: int = 8
             if w <= 0 or h <= 0:
                 continue
             luma = w * h
-            chroma_bytes = (0 if chroma.startswith(b"mono") else
-                            2 * luma if chroma.startswith(b"444") else
-                            luma if chroma.startswith(b"422") else
-                            luma // 2)  # 420*
-            frames = []
+            if chroma.startswith(b"mono"):
+                chroma_bytes = 0
+            elif chroma.startswith(b"444alpha"):
+                chroma_bytes = 3 * luma  # Cb + Cr + alpha planes
+            elif chroma.startswith(b"444"):
+                chroma_bytes = 2 * luma
+            elif chroma.startswith(b"422"):
+                chroma_bytes = luma
+            else:
+                chroma_bytes = luma // 2  # 420*, 411
+            # streaming accumulators: only the previous luma plane stays
+            # resident (a 1080p30 10 s clip would otherwise stack ~2.5 GB
+            # of float32 frames and np.diff a second copy inside a Spark
+            # worker); sum/sumsq give mean/std exactly, |diff| vs prev
+            # gives the same motion figure as the all-frames diff mean
+            nfr, ssum, ssq, msum = 0, 0.0, 0.0, 0.0
+            prev = None
             pos = nl + 1
             while pos < len(blob):
                 if blob[pos : pos + 5] != b"FRAME":
                     break
-                fnl = blob.index(b"\n", pos)
-                if fnl + 1 + luma > len(blob):
+                # find (not index): a clip truncated INSIDE a frame
+                # header must keep the fully-parsed frames, same as
+                # truncation inside a plane below
+                fnl = blob.find(b"\n", pos)
+                if fnl == -1 or fnl + 1 + luma > len(blob):
                     break  # truncated frame: keep what fully parsed
                 y = np.frombuffer(blob, np.uint8, count=luma,
-                                  offset=fnl + 1)
-                frames.append(y.astype(np.float32) / 255.0)
+                                  offset=fnl + 1)  # zero-copy view
+                yd = y.astype(np.float64)
+                ssum += float(yd.sum())
+                ssq += float(np.square(yd).sum())
+                if prev is not None:
+                    msum += float(np.mean(np.abs(yd - prev)))
+                prev = yd
+                nfr += 1
                 pos = fnl + 1 + luma + chroma_bytes
-            if not frames:
+            if nfr == 0:
                 continue
-            Y = np.stack(frames)
-            motion = (float(np.mean(np.abs(np.diff(Y, axis=0))))
-                      if len(frames) > 1 else 0.0)
-            feats = [float(len(frames)), fps, float(w), float(h),
-                     float(Y.mean()), float(Y.std()), motion,
-                     len(frames) / fps if fps > 0 else 0.0]
+            npx = nfr * luma
+            mean = ssum / npx
+            var = max(ssq / npx - mean * mean, 0.0)
+            motion = (msum / (nfr - 1) / 255.0) if nfr > 1 else 0.0
+            feats = [float(nfr), fps, float(w), float(h),
+                     mean / 255.0, var ** 0.5 / 255.0, motion,
+                     nfr / fps if fps > 0 else 0.0]
             out[i, :min(n_features, len(feats))] = feats[:n_features]
         except Exception:
             continue  # undecodable media → zero feature row

@@ -273,6 +273,30 @@ def test_decode_video_y4m_features():
     assert not feats[3].any() and not feats[4].any()
 
 
+def test_decode_video_y4m_truncation_and_444alpha():
+    """Truncation INSIDE a later frame header must keep the fully-parsed
+    frames (same as mid-plane truncation — review finding), and
+    C444alpha strides its extra alpha plane so frame counts stay exact."""
+    from plc.multimodal import decode_video_y4m
+
+    two = _y4m_bytes(4, 4, 2)
+    # cut so the blob ends with a dangling b"FRAME" (no newline)
+    head_end = two.index(b"\n") + 1
+    frame1_len = len(b"FRAME\n") + 16 + 8  # luma + 420 chroma
+    cut = two[: head_end + frame1_len + 5]
+    assert cut.endswith(b"FRAME")
+    # alpha: hand-build a C444alpha clip (luma + Cb + Cr + A per frame)
+    aw, ah, af = 4, 2, 3
+    alpha = b"YUV4MPEG2 W%d H%d F25:1 C444alpha\n" % (aw, ah)
+    for _ in range(af):
+        alpha += b"FRAME\n" + b"\x40" * (aw * ah) + b"\x80" * (3 * aw * ah)
+    feats = decode_video_y4m(pa.array([cut, alpha], pa.binary()))
+    assert feats[0, 0] == 1          # dangling header keeps frame 1
+    assert abs(feats[0, 4] - 128 / 255) < 1e-3
+    assert feats[1, 0] == af         # alpha plane strides correctly
+    assert abs(feats[1, 4] - 0x40 / 255) < 1e-3
+
+
 def test_decode_video_y4m_through_extract_features(spark):
     from plc.multimodal import decode_video_y4m, extract_features
 
