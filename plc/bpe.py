@@ -41,6 +41,7 @@ class BPETokenizer:
         self.ranks = {tuple(m): i for i, m in enumerate(merges)}
         self.unk_id = self.vocab.get("<unk>", 0)
         self._cache: dict[str, list[int]] = {}
+        self._CACHE_MAX = 2_000_000  # ≈ a few hundred MB worst case
 
     @classmethod
     def from_files(cls, vocab_path: str, merges_path: str) -> "BPETokenizer":
@@ -48,12 +49,15 @@ class BPETokenizer:
             vocab = json.load(f)
         merges: list[tuple[str, str]] = []
         with open(merges_path) as f:
-            for line in f:
-                line = line.rstrip("\n")
-                if not line or line.startswith("#"):
+            for lineno, line in enumerate(f, 1):
+                if not line.strip() or line.startswith("#"):
                     continue  # comment/version header lines
-                a, b = line.split(" ")
-                merges.append((a, b))
+                parts = line.split()  # tolerate trailing/extra whitespace
+                if len(parts) != 2:
+                    raise ValueError(
+                        f"{merges_path}:{lineno}: expected 'a b', got "
+                        f"{line.rstrip()!r}")
+                merges.append((parts[0], parts[1]))
         return cls(vocab, merges)
 
     def encode_word(self, word: str) -> list[int]:
@@ -82,14 +86,19 @@ class BPETokenizer:
                     i += 1
             syms = out
         ids = [self.vocab.get(s, self.unk_id) for s in syms]
+        if len(self._cache) >= self._CACHE_MAX:
+            # long-lived Spark workers over high-cardinality text (URLs,
+            # ids) would otherwise grow the memo without bound
+            self._cache.clear()
         self._cache[word] = ids
         return ids
 
     def encode_text(self, text: str) -> list[int]:
+        # str.split() (no arg) splits on ALL whitespace — newlines/tabs
+        # are word boundaries, not glue (ADVICE r4)
         out: list[int] = []
-        for w in text.split(" "):
-            if w:
-                out.extend(self.encode_word(w))
+        for w in text.split():
+            out.extend(self.encode_word(w))
         return out
 
 

@@ -190,8 +190,13 @@ def decode_video_y4m(payloads: pa.Array, n_features: int = 8
                 chroma_bytes = 2 * luma
             elif chroma.startswith(b"422"):
                 chroma_bytes = luma
+            elif chroma.startswith(b"420") or chroma.startswith(b"411"):
+                chroma_bytes = luma // 2
             else:
-                chroma_bytes = luma // 2  # 420*, 411
+                # unknown subsampling tag (e.g. C410): guessing a stride
+                # would mis-align every FRAME marker and silently truncate
+                # n_frames/motion — treat as undecodable (zero row) instead
+                continue
             # streaming accumulators: only the previous luma plane stays
             # resident (a 1080p30 10 s clip would otherwise stack ~2.5 GB
             # of float32 frames and np.diff a second copy inside a Spark

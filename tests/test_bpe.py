@@ -35,6 +35,34 @@ def test_bpe_merge_semantics():
     assert tok.encode_text("the and") == [tok.vocab["the"],
                                           tok.vocab["and"]]
     assert tok.encode_text("") == []
+    # ALL whitespace splits words — newlines/tabs are boundaries, not
+    # glue (ADVICE r4: "end\nStart" must not become one <unk> run)
+    assert tok.encode_text("the\nand\tthe") == [
+        tok.vocab["the"], tok.vocab["and"], tok.vocab["the"]]
+
+
+def test_bpe_merges_file_robustness(tmp_path):
+    """Trailing spaces parse; malformed lines raise with a line number;
+    the word cache stays bounded."""
+    import pytest
+
+    from plc.bpe import BPETokenizer
+
+    vocab = tmp_path / "vocab.json"
+    vocab.write_text('{"a": 1, "b": 2, "ab": 3, "<unk>": 0}')
+    ok = tmp_path / "merges.txt"
+    ok.write_text("# version\na b \n\n")  # trailing space + blank line
+    tok = BPETokenizer.from_files(str(vocab), str(ok))
+    assert tok.encode_word("ab") == [3]
+    bad = tmp_path / "bad.txt"
+    bad.write_text("a b\nx y z\n")
+    with pytest.raises(ValueError, match="bad.txt:2"):
+        BPETokenizer.from_files(str(vocab), str(bad))
+    # cache bound: past the cap the memo resets instead of growing
+    tok._CACHE_MAX = 4
+    for w in ("aa", "ba", "bb", "abab", "baba"):
+        tok.encode_word(w)
+    assert len(tok._cache) <= 4
 
 
 def test_bpe_tokens_table_and_engine_roundtrip(spark):

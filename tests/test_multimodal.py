@@ -297,6 +297,19 @@ def test_decode_video_y4m_truncation_and_444alpha():
     assert abs(feats[1, 4] - 0x40 / 255) < 1e-3
 
 
+def test_decode_video_y4m_unknown_chroma_rejected():
+    """An unrecognized chroma tag (e.g. C410) must yield a zero row, not
+    a guessed stride that silently truncates frames (ADVICE r4)."""
+    from plc.multimodal import decode_video_y4m
+
+    clip = _y4m_bytes(8, 4, 3)
+    weird = clip.replace(b" C420", b" C410", 1)
+    assert weird != clip
+    feats = decode_video_y4m(pa.array([weird, clip], pa.binary()))
+    assert feats[0].sum() == 0       # undecodable, flagged not guessed
+    assert feats[1, 0] == 3
+
+
 def test_decode_video_y4m_through_extract_features(spark):
     from plc.multimodal import decode_video_y4m, extract_features
 
