@@ -278,16 +278,27 @@ def main() -> None:
         #   bandwidth around 8 threads (codec probe: 1→4 efficiency ~1.0,
         #   2→8 borderline), so 1→4 is the widest pair the hardware can
         #   demonstrate; the north rule's N is free.
-        # - runs are INTERLEAVED (1,4,1,4,...) — tenant load swings wall
-        #   ~3x and alternation decorrelates a noise burst from one arm of
-        #   the ratio.
+        # - runs are PAIRED back-to-back (a 1-thread and a 4-thread run
+        #   within ~30 s of each other, order alternating per pair):
+        #   background-tenant memory traffic inflates cycles/insn as a
+        #   slowly-varying multiplicative factor, so the two members of a
+        #   pair share the same drift regime and their RATIO cancels it;
+        #   alternating order cancels load ramps within the leg. The r4
+        #   driver window proved the old cross-arm min-vs-min statistic
+        #   biased LOW under drift: the bus-insensitive 1-thread arm
+        #   caught a brief quiet moment (cpu 21.44 vs anchor 19.5) the
+        #   4-thread arm never saw (27.17+ vs 23.1), scoring 0.789 while
+        #   the per-pair ratios of the same samples had median 0.835.
         # - the headline efficiency is CPU-based: process-tree CPU seconds
         #   (driver+JVM+workers, plc.procstat) measure the WORK the job
         #   does, immune to tenant wall noise. efficiency_cpu =
-        #   cpu(N)/cpu(4N): 1.0 means 4x parallelism adds zero work, so
-        #   throughput on real dedicated executors scales ~linearly;
-        #   >= 0.8 means at most 1.25x work inflation — the north rule's
-        #   bar. Wall-clock efficiency is reported alongside.
+        #   median over CLEAN pairs of cpu(N)/cpu(4N): 1.0 means 4x
+        #   parallelism adds zero work, so throughput on real dedicated
+        #   executors scales ~linearly; >= 0.8 means at most 1.25x work
+        #   inflation — the north rule's bar. The median uses ALL clean
+        #   pairs (not the best one), so extending the run cannot cherry-
+        #   pick; the legacy min-vs-min figure and wall-clock efficiency
+        #   are reported alongside.
         # - ABSOLUTE contamination gate (VERDICT r3 #1): under full
         #   external contention even process-tree CPU inflates (the
         #   contended JVM spins, memory-bus thrash raises cycles/insn for
@@ -365,18 +376,48 @@ def main() -> None:
                     <= gate * base[f"{arm}_worker_cpu_sec"])
 
         MAX_PAIRS, BUDGET_SEC = 8, 1200.0
-        lo_runs, hi_runs = [], []
+        lo_runs, hi_runs, pairs = [], [], []
+        probe_runs: list[dict] = []
         t_scaling = time.perf_counter()
+        # pre-gate (VERDICT r4 #1b): the 4-thread arm is the drift-
+        # sensitive one — before committing to the leg, probe it until a
+        # sample lands within extend_factor of the committed anchor, or
+        # ~5 min passes. Probes are real samples (reported, and counted
+        # in hi_runs for the min-based stats); the bound keeps a fully-
+        # drifted window from stalling the bench, and the paired median
+        # below stays valid either way.
+        if base is not None:
+            t_probe = time.perf_counter()
+            while True:
+                _wait_quiet()
+                r = _bench_encode("local[4]", src_path, n_parts, raw_bytes)
+                probe_runs.append(r)
+                hi_runs.append(r)
+                if (r["cpu_sec"] <= extend * base["n4_cpu_sec"]
+                        and r["worker_cpu_sec"]
+                        <= extend * base["n4_worker_cpu_sec"]):
+                    break
+                if time.perf_counter() - t_probe > 300:
+                    break
+                time.sleep(30)
         for i in range(MAX_PAIRS):
-            _wait_quiet()
-            lo_runs.append(_bench_encode("local[1]", src_path, n_parts,
-                                         raw_bytes))
-            _wait_quiet()
-            hi_runs.append(_bench_encode("local[4]", src_path, n_parts,
-                                         raw_bytes))
+            members = {}
+            # alternate which arm runs first so a monotone load ramp
+            # inside the leg biases half the pairs each way
+            order = ("n", "n4") if i % 2 == 0 else ("n4", "n")
+            for arm in order:
+                _wait_quiet()
+                r = _bench_encode("local[1]" if arm == "n" else "local[4]",
+                                  src_path, n_parts, raw_bytes)
+                (lo_runs if arm == "n" else hi_runs).append(r)
+                members[arm] = r
+            pairs.append((members["n"], members["n4"]))
             if base is not None:
-                have_clean = (any(_clean(r, "n") for r in lo_runs) and
-                              any(_clean(r, "n4") for r in hi_runs))
+                # stop once the paired median rests on >=2 CLEAN pairs
+                # (both members within the absolute gate)
+                have_clean = sum(
+                    1 for a, b in pairs
+                    if _clean(a, "n") and _clean(b, "n4")) >= 2
                 # drift extension: when even the best CLEAN sample of an
                 # arm sits >extend_factor over the quiet anchor, the
                 # window is running slow (between-windows tenant drift
@@ -415,6 +456,8 @@ def main() -> None:
             contaminated = not (all(_clean(r, "n") for r in lo_runs)
                                 and all(_clean(r, "n4") for r in hi_runs))
             drift_unresolved = False
+        from statistics import median
+
         lo = min(lo_clean, key=lambda r: r["data_path_sec"])
         hi = min(hi_clean, key=lambda r: r["data_path_sec"])
         cpu_lo = min(r["cpu_sec"] for r in lo_clean)
@@ -422,31 +465,52 @@ def main() -> None:
         wcpu_lo = min(r["worker_cpu_sec"] for r in lo_clean)
         wcpu_hi = min(r["worker_cpu_sec"] for r in hi_clean)
         eff_wall = (lo["data_path_sec"] / hi["data_path_sec"]) / 4
-        eff_cpu = cpu_lo / cpu_hi
-        eff_wcpu = wcpu_lo / wcpu_hi
+        eff_cpu_minmin = cpu_lo / cpu_hi
+        eff_wcpu_minmin = wcpu_lo / wcpu_hi
+        # headline: median over CLEAN pairs of the back-to-back ratio —
+        # the two members of a pair share the drift regime, so the ratio
+        # cancels the common multiplicative cycle inflation; the median
+        # over ALL clean pairs is robust to the residual and cannot be
+        # cherry-picked by extending the run. Falls back to all pairs
+        # (with contaminated=true above) when no pair is clean.
+        clean_pairs = [(a, b) for a, b in pairs
+                       if _clean(a, "n") and _clean(b, "n4")]
+        stat_pairs = clean_pairs or pairs
+        eff_cpu = median(a["cpu_sec"] / b["cpu_sec"] for a, b in stat_pairs)
+        eff_wcpu = median(a["worker_cpu_sec"] / b["worker_cpu_sec"]
+                          for a, b in stat_pairs)
         result["scaling"] = {
-            # schema_version 2 (since r3): "efficiency" is the CPU-work
-            # ratio cpu(N)/cpu(4N) at local[1] vs local[4], NOT the r1/r2
-            # wall-throughput ratio at local[2] vs local[8] — do not
-            # compare the headline key across schema versions.
-            # efficiency_wall carries the wall metric.
-            "schema_version": 2,
+            # schema_version 3 (since r5): "efficiency" is the MEDIAN of
+            # per-pair cpu(N)/cpu(4N) ratios over clean back-to-back
+            # pairs at local[1] vs local[4]. v2 (r3-r4) was min-over-arm
+            # cpu(N)/cpu(4N) — biased low under between-windows drift
+            # (see protocol); v1 (r1-r2) was wall-throughput at local[2]
+            # vs local[8]. Do not compare the headline key across schema
+            # versions. efficiency_cpu_minmin carries the v2 metric,
+            # efficiency_wall the wall metric.
+            "schema_version": 3,
             "n_threads": 1, "n4_threads": 4,
-            "protocol": ("interleaved load-gated pairs at local[1] vs "
-                         "local[4], min 3 / max 8 pairs; a sample is "
-                         "CLEAN iff its process-tree CPU and its "
-                         "Python-worker CPU are within gate_factor of "
-                         "the committed quiet-window baseline "
+            "protocol": ("back-to-back load-gated pairs at local[1] vs "
+                         "local[4] (order alternating per pair), min 3 "
+                         "/ max 8 pairs, pre-gated on a 4-thread probe "
+                         "landing within extend_factor of the anchor "
+                         "(<=5 min); a sample is CLEAN iff its "
+                         "process-tree CPU and its Python-worker CPU "
+                         "are within gate_factor of the committed "
+                         "quiet-window baseline "
                          "(BENCH/quiet_baseline.json — an absolute "
                          "external standard, not the pass threshold); "
-                         "pairs keep interleaving until each arm has a "
-                         "clean sample AND the best clean sample per "
-                         "arm is within extend_factor of the anchor "
+                         "pairs keep interleaving until >=2 pairs are "
+                         "clean AND the best clean sample per arm is "
+                         "within extend_factor of the anchor "
                          "(between-windows drift evidence, still keyed "
                          "to the external anchor, never to the computed "
-                         "efficiency), and efficiency_cpu = "
-                         "cpu(N)/cpu(4N) is computed over clean samples "
-                         "only (min per arm). contaminated=true flags a "
+                         "efficiency), and efficiency_cpu = median over "
+                         "clean pairs of the back-to-back ratio "
+                         "cpu(N)/cpu(4N) — pair members share the drift "
+                         "regime so the ratio cancels common cycle "
+                         "inflation; the median uses ALL clean pairs, "
+                         "never the best. contaminated=true flags a "
                          "window where no clean pair was reachable. "
                          "efficiency_worker_cpu restricts to "
                          "Python-worker CPU (the codec work that "
@@ -457,7 +521,16 @@ def main() -> None:
             "baseline_missing": base is None,
             "contaminated": contaminated,
             "drift_unresolved": drift_unresolved,
-            "n_pairs": len(lo_runs),
+            "n_pairs": len(pairs),
+            "n_probe_runs": len(probe_runs),
+            "n_clean_pairs": len(clean_pairs),
+            "pair_cpu_ratios": [round(a["cpu_sec"] / b["cpu_sec"], 3)
+                                for a, b in pairs],
+            "pair_worker_cpu_ratios": [
+                round(a["worker_cpu_sec"] / b["worker_cpu_sec"], 3)
+                for a, b in pairs],
+            "pair_clean_flags": [_clean(a, "n") and _clean(b, "n4")
+                                 for a, b in pairs],
             "n_clean_flags": [_clean(r, "n") for r in lo_runs],
             "n4_clean_flags": [_clean(r, "n4") for r in hi_runs],
             "n_gbps": lo["gbps"], "n4_gbps": hi["gbps"],
@@ -475,6 +548,8 @@ def main() -> None:
             "efficiency_wall": round(eff_wall, 3),
             "efficiency_cpu": round(eff_cpu, 3),
             "efficiency_worker_cpu": round(eff_wcpu, 3),
+            "efficiency_cpu_minmin": round(eff_cpu_minmin, 3),
+            "efficiency_worker_cpu_minmin": round(eff_wcpu_minmin, 3),
             "efficiency": round(eff_cpu, 3),
         }
         # codec-layer scaling (no Spark/IPC — the work that multiplies with

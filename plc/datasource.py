@@ -157,14 +157,32 @@ def _committed_batch_ids(pfs: _PlanFS) -> list[int]:
     return sorted(out)
 
 
-def _committed_parts(pfs: _PlanFS, rel: str) -> set[int]:
-    out: set[int] = set()
+def _committed_entries(pfs: _PlanFS, rel: str) -> "dict[int, set[str] | None]":
+    """Committed part_id → the set of data file names the manifest lists
+    for it, or None when the manifest predates the ``file`` column (or
+    the part was committed by the pipeline sink, which delegates orphan
+    safety to Spark's own commit protocol) — None means "read whatever
+    is in the part dir". Named entries are the commit point for
+    format-written stores: a zombie/speculative attempt's file lands in
+    the part dir but is never named here, so readers must open ONLY the
+    named files."""
+    out: dict[int, set[str] | None] = {}
     for st in pfs.listdir(posixpath.join(rel, "_manifest", "parts")
                           if rel else posixpath.join("_manifest", "parts")):
         if not st.path.endswith(".parquet"):
             continue
-        out.update(pfs.read_parquet(st.path, ["part_id"])
-                   .column("part_id").to_pylist())
+        tbl = pfs.read_parquet(st.path, None)
+        pids = tbl.column("part_id").to_pylist()
+        fnames = (tbl.column("file").to_pylist()
+                  if "file" in tbl.column_names else [None] * len(pids))
+        for pid, fn in zip(pids, fnames):
+            if fn is None:
+                # unknown file set for this part: glob semantics, unless
+                # another row already named files for it
+                out.setdefault(pid, None)
+            else:
+                cur = out.get(pid)
+                out[pid] = {fn} if cur is None else cur | {fn}
     return out
 
 
@@ -406,18 +424,33 @@ class PLCReader(DataSourceReader):
         with ThreadPoolExecutor(max_workers=_PLAN_THREADS) as pool:
             committed = {rel: c for rel, c in zip(
                 self.roots, pool.map(
-                    lambda r: _committed_parts(self.pfs, r), self.roots))}
+                    lambda r: _committed_entries(self.pfs, r), self.roots))}
             files: list[str] = []
             for rel in self.roots:
                 data_rel = posixpath.join(rel, "data") if rel else "data"
+                # manifest-NAMED files are the commit point: open exactly
+                # those (no dir listing — an orphan from a zombie or
+                # losing speculative attempt in the same dir is invisible,
+                # and planning skips one listdir round-trip per part).
+                # None entries (pre-file-column manifests, pipeline-sink
+                # parts) keep the glob semantics.
+                glob_pids = set()
+                for pid, names in committed[rel].items():
+                    if names is None:
+                        glob_pids.add(pid)
+                    else:
+                        files.extend(posixpath.join(
+                            self.pfs.join(data_rel, f"part_id={pid}"), f)
+                            for f in sorted(names))
                 pdirs = []
-                for st in self.pfs.listdir(data_rel):
-                    name = posixpath.basename(st.path)
-                    if not name.startswith("part_id="):
-                        continue
-                    if int(name.split("=")[1]) not in committed[rel]:
-                        continue  # crashed/uncommitted part: invisible
-                    pdirs.append(posixpath.join(data_rel, name))
+                if glob_pids:
+                    for st in self.pfs.listdir(data_rel):
+                        name = posixpath.basename(st.path)
+                        if not name.startswith("part_id="):
+                            continue
+                        if int(name.split("=")[1]) not in glob_pids:
+                            continue  # uncommitted or manifest-named
+                        pdirs.append(posixpath.join(data_rel, name))
                 for infos in pool.map(self.pfs.listdir, sorted(pdirs)):
                     files.extend(sorted(st.path for st in infos
                                         if st.path.endswith(".parquet")))
@@ -560,26 +593,21 @@ class PLCWriter(DataSourceArrowWriter):
 
     Differences from :func:`plc.pipeline.encode`: no stats pre-pass, no
     skew salting, no resume (task retries are handled by the commit
-    protocol instead: only files named in SUCCESSFUL task messages survive
-    commit, so speculative/retried attempts can never duplicate data).
-    The written store is identical on disk — decode(), verify(), metrics()
+    protocol instead: the manifest is the commit point and names the ONE
+    data file per part that the winning attempt wrote, readers open only
+    manifest-named files, so speculative/retried/zombie attempts can
+    never duplicate data — they leave at most an orphan file that commit
+    sweeps best-effort and every reader ignores). Paths resolve through
+    ``pyarrow.fs`` (:class:`_PlanFS`), so any URI the read side accepts
+    (file://, s3://, hdfs://...) is writable too; no rename/move is ever
+    required, which is what makes object stores safe targets. The
+    written store is identical on disk — decode(), verify(), metrics()
     and the format reader all work on it."""
 
     def __init__(self, path: str, schema: StructType, overwrite: bool,
                  max_chunk_values):
-        import shutil
+        import uuid
 
-        if path.startswith("file:"):
-            path = path[len("file:"):]
-            while path.startswith("//"):
-                path = path[1:]
-        if "://" in path:
-            raise NotImplementedError(
-                f"plc format writes stage task files locally and promote "
-                f"them with atomic renames at commit; {path!r} needs a "
-                f"filesystem visible at the same path everywhere — use "
-                f"plc.encode() for cluster URIs (it writes through "
-                f"Spark's Hadoop filesystem layer)")
         if "doc_id" not in schema.fieldNames():
             raise ValueError("plc stores require a doc_id column "
                              "(chunk pruning + lineage identity)")
@@ -593,18 +621,25 @@ class PLCWriter(DataSourceArrowWriter):
                 f"first, e.g. df.withColumn('doc_id', "
                 f"col('doc_id').cast('string'))")
         self.path = path
+        self.pfs = _PlanFS(path)
         self.schema = schema
         self.max_vals = int(max_chunk_values or (1 << 22))
         self.wcol = "n_tok" if "n_tok" in schema.fieldNames() else "_w"
-        has_state = (os.path.exists(os.path.join(path, "_manifest"))
-                     or os.path.exists(os.path.join(path, "data")))
+        # job id baked into every task file name: abort() can then sweep
+        # exactly this job's files, and a name can never collide with a
+        # previous overwrite's leftovers
+        self.jobid = uuid.uuid4().hex[:12]
+        has_state = self.pfs.exists("_manifest") or self.pfs.exists("data")
         if has_state:
             if not overwrite:
                 raise FileExistsError(
                     f"{path} already has encode state; plc format writes "
                     f"support mode('overwrite') — for append/resume use "
                     f"plc.encode(..., resume=True)")
-            shutil.rmtree(self.path, ignore_errors=True)
+            try:
+                self.pfs.fs.delete_dir_contents(self.pfs.root)
+            except FileNotFoundError:
+                pass
 
     def write(self, iterator):
         import uuid
@@ -675,46 +710,52 @@ class PLCWriter(DataSourceArrowWriter):
         flush()
         if not enc_rows:
             return PLCCommit(pid, None, 0, 0, 0, 0, 0, None, None)
-        # tasks write to a STAGING dir; only commit() moves files named in
-        # successful task messages into the data layout. A zombie or
-        # speculative attempt finishing after commit's cleanup therefore
-        # lands in staging (which readers never look at), not in a
-        # committed part dir — the property a delete-the-orphans scan at
-        # commit time cannot give (the zombie can finish after the scan).
-        sdir = os.path.join(self.path, "_staging")
-        os.makedirs(sdir, exist_ok=True)
-        fname = f"part-{pid:05d}-{uuid.uuid4().hex}.parquet"
+        # tasks write STRAIGHT into the part dir (works on any pyarrow.fs
+        # target — object stores have no atomic rename to lean on) with a
+        # per-attempt unique name; the manifest written by commit() names
+        # exactly the winning attempt's file, and readers open only
+        # manifest-named files, so a zombie or speculative attempt
+        # finishing at ANY time — even after commit — leaves an invisible
+        # orphan, never duplicate data. That is a strictly stronger
+        # guarantee than a rename-based promotion, with zero copies.
+        pdir = self.pfs.join("data", f"part_id={pid}")
+        self.pfs.fs.create_dir(pdir, recursive=True)
+        fname = (f"part-{pid:05d}-{self.jobid}-"
+                 f"{uuid.uuid4().hex[:12]}.parquet")
         tbl = pa.Table.from_batches(enc_rows).drop_columns(["part_id"])
         # one row group per partition slice so sliced readers touch only
         # their own chunks' bytes (_read_selected)
-        pq.write_table(tbl, os.path.join(sdir, fname),
-                       compression="none",
-                       row_group_size=_CHUNKS_PER_PART)
+        with self.pfs.fs.open_output_stream(
+                posixpath.join(pdir, fname)) as f:
+            pq.write_table(tbl, f, compression="none",
+                           row_group_size=_CHUNKS_PER_PART)
         return PLCCommit(pid, fname, chunk_idx, totals["rows"],
                          totals["tokens"], totals["raw"], totals["enc"],
                          min(mins), max(maxs))
 
     def commit(self, messages) -> None:
-        import shutil
-
         import pyarrow as pa
 
         msgs = [m for m in messages if m is not None]
-        # promote exactly the files named by SUCCESSFUL attempts from
-        # staging into the data layout (one winning attempt per partition
-        # by Spark's commit protocol), then drop staging with whatever
-        # orphans lost attempts left there
-        sdir = os.path.join(self.path, "_staging")
-        for m in msgs:
-            if not m.file:
-                continue
-            pdir = os.path.join(self.path, "data", f"part_id={m.part_id}")
-            os.makedirs(pdir, exist_ok=True)
-            os.replace(os.path.join(sdir, m.file),
-                       os.path.join(pdir, m.file))
-        shutil.rmtree(sdir, ignore_errors=True)
-        os.makedirs(os.path.join(self.path, "_manifest", "parts"),
-                    exist_ok=True)
+        # best-effort sweep of losing-attempt orphans (readers ignore
+        # them via the manifest's file list regardless — this only
+        # reclaims their bytes; a zombie finishing after the sweep leaves
+        # a bounded, invisible leftover)
+        winners = {m.file for m in msgs if m.file}
+        try:
+            for st in self.pfs.listdir("data"):
+                name = posixpath.basename(st.path)
+                if not name.startswith("part_id="):
+                    continue
+                for fi in self.pfs.listdir(
+                        posixpath.join("data", name)):
+                    base = posixpath.basename(fi.path)
+                    if base.endswith(".parquet") and base not in winners:
+                        self.pfs.fs.delete_file(fi.path)
+        except OSError:
+            pass
+        self.pfs.fs.create_dir(self.pfs.join("_manifest", "parts"),
+                               recursive=True)
         plan = {
             "n_parts": (max((m.part_id for m in msgs), default=0) + 1),
             "bounds": [], "tau": 2**31 - 1, "weight_col": self.wcol,
@@ -722,9 +763,9 @@ class PLCWriter(DataSourceArrowWriter):
             "total_rows": sum(m.n_rows for m in msgs),
             "schema": self.schema.jsonValue(),
         }
-        with open(os.path.join(self.path, "_manifest", "plan.json"),
-                  "w") as f:
-            json.dump(plan, f)
+        with self.pfs.fs.open_output_stream(
+                self.pfs.join("_manifest", "plan.json")) as f:
+            f.write(json.dumps(plan).encode("utf-8"))
         man = pa.table({
             "part_id": pa.array([m.part_id for m in msgs], pa.int32()),
             "n_chunks": pa.array([m.n_chunks for m in msgs], pa.int64()),
@@ -736,18 +777,22 @@ class PLCWriter(DataSourceArrowWriter):
                                    pa.string()),
             "max_doc_id": pa.array([m.max_doc_id for m in msgs],
                                    pa.string()),
+            # the commit point: readers open exactly these files and
+            # nothing else in the part dirs
+            "file": pa.array([m.file for m in msgs], pa.string()),
         })
-        pq.write_table(man, os.path.join(self.path, "_manifest", "parts",
-                                         "manifest-0.parquet"))
+        with self.pfs.fs.open_output_stream(
+                self.pfs.join("_manifest", "parts",
+                              "manifest-0.parquet")) as f:
+            pq.write_table(man, f)
 
     def abort(self, messages) -> None:
-        import shutil
-
-        # no manifest was committed, so nothing is readable; drop staged
-        # files (and any data dir from a partial commit) for a clean retry
-        shutil.rmtree(os.path.join(self.path, "_staging"),
-                      ignore_errors=True)
-        shutil.rmtree(os.path.join(self.path, "data"), ignore_errors=True)
+        # no manifest was committed, so nothing is readable; drop the
+        # data dir this job was filling for a clean retry
+        try:
+            self.pfs.fs.delete_dir(self.pfs.join("data"))
+        except OSError:
+            pass
 
 
 def register(spark) -> None:

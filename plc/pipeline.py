@@ -457,6 +457,14 @@ def _write_and_commit(spark: SparkSession, enc: DataFrame, dst: str,
         "part_id int, n_chunks bigint, n_rows bigint, n_tokens bigint, "
         "raw_bytes bigint, enc_bytes bigint, min_doc_id string, "
         "max_doc_id string")
+    if committed:
+        # resuming a store whose manifest carries the format writer's
+        # `file` column: append with the same schema (file=NULL — the
+        # pipeline sink's parts read by dir, Spark's commit protocol
+        # already excludes orphans there)
+        existing = spark.read.parquet(_manifest_path(dst))
+        if "file" in existing.columns:
+            man = man.withColumn("file", F.lit(None).cast("string"))
     man.write.mode("append").parquet(_manifest_path(dst))
     if committed:
         # resume: totals span prior manifests too — read them back
@@ -682,6 +690,35 @@ def encode_direct(spark: SparkSession, src_path: str, dst: str,
 # --------------------------------------------------------------------------
 
 
+def _committed_enc(spark: SparkSession, dst: str) -> DataFrame:
+    """Encoded-chunk table restricted to committed data: manifest
+    part_id semi-join, plus — for format-written stores, whose manifest
+    NAMES the winning data file per part — a file-name filter so an
+    orphan left in a part dir by a zombie/speculative task attempt is
+    invisible (the format writer writes task files directly into part
+    dirs on any pyarrow.fs target; the manifest is the commit point).
+    Parts with a NULL file (pipeline-sink commits, where Spark's own
+    commit protocol already guarantees no orphans) keep reading every
+    file in their dir. The name list is O(committed parts), same scale
+    as the semi-join side."""
+    man = spark.read.parquet(_manifest_path(dst))
+    enc = _read_enc(spark, dst)
+    if "file" in man.columns:
+        rows = man.select("part_id", "file").collect()
+        named = [r["file"] for r in rows if r["file"] is not None]
+        if named:
+            open_parts = [r["part_id"] for r in rows if r["file"] is None]
+            # input_file_name() only resolves on a single-source plan —
+            # filter BEFORE the committed-part join
+            cond = F.element_at(F.split(F.input_file_name(), "/"),
+                                -1).isin(named)
+            if open_parts:
+                cond = cond | F.col("part_id").isin(open_parts)
+            enc = enc.filter(cond)
+    return enc.join(F.broadcast(man.select("part_id")), "part_id",
+                    "left_semi")
+
+
 def _read_enc(spark: SparkSession, dst: str) -> DataFrame:
     """Read the encoded-chunk table; explicit schema when the data dir has
     no part directories yet (empty input / nothing committed), where
@@ -754,9 +791,7 @@ def select_chunks(spark: SparkSession, dst: str, *,
     unknown_f = [c for c in filters if c not in known]
     if unknown_f:
         raise ValueError(f"unknown filter columns {unknown_f}")
-    committed = spark.read.parquet(_manifest_path(dst)).select("part_id")
-    enc = _read_enc(spark, dst)
-    enc = enc.join(F.broadcast(committed), "part_id", "left_semi")
+    enc = _committed_enc(spark, dst)
     if doc_id_min is not None:
         enc = enc.filter(F.col("max_doc_id") >= doc_id_min)
     if doc_id_max is not None:
@@ -991,9 +1026,7 @@ def codec_report(spark: SparkSession, dst: str) -> DataFrame:
     this reads "X% of store bytes sit in chunks where `tokens` chose
     FORBP", not per-column byte attribution). Within one column the
     shares sum to 1."""
-    committed = spark.read.parquet(_manifest_path(dst)).select("part_id")
-    enc = _read_enc(spark, dst).join(F.broadcast(committed), "part_id",
-                                     "left_semi")
+    enc = _committed_enc(spark, dst)
     per_col = (enc.select(
         "enc_bytes",
         F.explode(F.from_json("codecs", "map<string,string>"))

@@ -126,7 +126,8 @@ def test_planner_reads_stats_lazily_and_scales(spark):
         orig = _PlanFS.read_parquet
 
         def spy(self, path, columns):
-            reads.append(tuple(columns))
+            # columns=None = whole-table read (manifest entry listing)
+            reads.append(tuple(columns) if columns is not None else None)
             return orig(self, path, columns)
 
         _PlanFS.read_parquet = spy
@@ -490,25 +491,68 @@ def test_format_reads_file_uri(spark, store):
     assert got == want
 
 
-def test_format_write_rejects_remote_uri_and_bad_doc_id_type(spark):
-    """Writes stage locally + promote with atomic renames, so a remote URI
-    is refused with the plc.encode pointer; a non-string doc_id fails at
-    planning time with the cast hint (not an executor ArrowTypeError)."""
+def test_format_write_bad_doc_id_type_fails_at_planning(spark):
+    """A non-string doc_id fails at planning time with the cast hint
+    (not an executor ArrowTypeError)."""
     from plc.datasource import register
 
     register(spark)
     df = spark.range(10).select(F.col("id").alias("doc_id"),
                                 F.lit("a").alias("source"))
-    with pytest.raises(Exception, match="plc.encode"):
-        (df.withColumn("doc_id", F.col("doc_id").cast("string"))
-         .write.format("plc").mode("overwrite")
-         .save("hdfs://nn/warehouse/enc"))
     dst = tempfile.mkdtemp(prefix="plc_ds_badtype_")
     try:
         with pytest.raises(Exception, match="doc_id to be a string"):
             df.write.format("plc").mode("overwrite").save(dst + "/store")
     finally:
         shutil.rmtree(dst, ignore_errors=True)
+
+
+def test_format_write_uri_and_orphan_invisibility(spark):
+    """VERDICT r4 #2: format writes work on pyarrow.fs URIs (file://
+    here — the same _PlanFS resolution the read side uses for s3/hdfs),
+    the manifest NAMES each part's winning data file, and a zombie/
+    speculative-attempt orphan planted in a part dir is invisible to the
+    format reader, decode() and verify() alike."""
+    import glob as g
+
+    import pyarrow.parquet as papq
+
+    from plc.datasource import register
+    from plc.pipeline import decode, verify
+
+    register(spark)
+    base = tempfile.mkdtemp(prefix="plc_ds_uri_")
+    try:
+        src = spark.range(400).select(
+            F.format_string("d%07d", F.col("id")).alias("doc_id"),
+            F.sequence(F.lit(1), (F.col("id") % 7 + 3).cast("int"))
+            .cast("array<int>").alias("tokens"),
+            (F.col("id") % 7 + 3).cast("int").alias("n_tok"),
+            F.lit("s").alias("source"))
+        dst = "file://" + base + "/store"
+        (src.repartitionByRange(4, "doc_id")
+            .sortWithinPartitions("doc_id")
+            .write.format("plc").mode("overwrite").save(dst))
+        local = base + "/store"
+        n = spark.read.format("plc").load(dst).count()
+        assert n == 400
+        # manifest names exactly the committed files
+        man = papq.read_table(
+            g.glob(local + "/_manifest/parts/*.parquet")[0])
+        named = [f for f in man.column("file").to_pylist() if f]
+        on_disk = {os.path.basename(p) for p in
+                   g.glob(local + "/data/part_id=*/*.parquet")}
+        assert set(named) == on_disk
+        # plant an orphan: a copy of a real part file under a new name
+        pdir = sorted(g.glob(local + "/data/part_id=*"))[0]
+        realf = g.glob(pdir + "/*.parquet")[0]
+        shutil.copy(realf, pdir + "/part-zombie-late-attempt.parquet")
+        assert spark.read.format("plc").load(local).count() == 400
+        assert decode(spark, local).count() == 400
+        res = verify(spark, src, local, method="checksum")
+        assert res["mismatches"] == 0, res
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def test_bloom_point_lookup_prunes_inside_range(spark, store):
