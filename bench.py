@@ -240,6 +240,20 @@ def main() -> None:
 
         timings["decode_verify"] = _best_of(_run_verify)
         assert res["mismatches"] == 0, res
+
+        # probe-only lookup walls (VERDICT r4 #5): the oracled
+        # point_lookup/batch_lookup entries time store-build + probe in
+        # one number, hiding probe-path regressions — time just the
+        # probes here against the store built above
+        probe = "doc-000000000000"
+        timings["point_lookup_probe"] = _best_of(
+            lambda: decode(spark, dst,
+                           filters={"doc_id": (probe, probe)}).collect())
+        keys = [f"doc-{i:012d}" for i in range(0, n_rows, 97)]
+        timings["batch_lookup_probe"] = _best_of(
+            lambda: decode(spark, dst, doc_ids=keys,
+                           columns=["doc_id", "n_tok"])
+            .agg({"n_tok": "sum"}).collect())
         shutil.rmtree(dst, ignore_errors=True)
 
         for name, q in E.queries().items():

@@ -52,13 +52,16 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (DataSource, DataSourceArrowWriter,
                                     DataSourceReader, DataSourceStreamReader,
                                     EqualTo, GreaterThan, GreaterThanOrEqual,
-                                    In, InputPartition, LessThan,
-                                    LessThanOrEqual, StringStartsWith,
-                                    WriterCommitMessage)
+                                    In, InputPartition, IsNotNull, IsNull,
+                                    LessThan, LessThanOrEqual,
+                                    StringStartsWith, WriterCommitMessage)
 from pyspark.sql.types import StringType, StructType
 
-# planner fast path: typed per-chunk columns, no stats JSON (see _PlanFS)
-_RANGE_COLS = ["chunk_idx", "min_doc_id", "max_doc_id", "min_w", "max_w"]
+# planner fast path: typed per-chunk columns, no stats JSON (see _PlanFS).
+# n_rows rides along for the IsNotNull all-null-chunk test (stats carry
+# null counts; a chunk is prunable when nulls == n_rows)
+_RANGE_COLS = ["chunk_idx", "min_doc_id", "max_doc_id", "min_w", "max_w",
+               "n_rows"]
 _PLAN_THREADS = 32
 # chunks per Spark input partition: a default chunk caps at ~4M token
 # values (~16 MB raw), so 4 chunks ≈ 64 MB per task — and a store with
@@ -215,7 +218,8 @@ class PLCDataSource(DataSource):
             f"nor a stream root with committed batch=<id> stores")
 
     def reader(self, schema: StructType) -> "PLCReader":
-        return PLCReader(self._path(), schema)
+        return PLCReader(self._path(), schema,
+                         self.options.get("filters"))
 
     def writer(self, schema: StructType, overwrite: bool) -> "PLCWriter":
         return PLCWriter(self._path(), schema, overwrite,
@@ -226,14 +230,30 @@ class PLCDataSource(DataSource):
 
 
 class PLCChunkPartition(InputPartition):
-    def __init__(self, pfs: _PlanFS, file: str, rows: list[int] | None):
+    def __init__(self, pfs: _PlanFS, file: str, rows: list[int] | None,
+                 filters: "dict[str, list[tuple]] | None" = None):
         self.pfs = pfs    # pickles as the original path/URI, re-resolves
         self.file = file  # full path within pfs.fs
         self.rows = rows  # chunk row indices surviving pruning; None = all
+        self.filters = filters  # option-supplied multi-ranges, row-exact
 
 
 class PLCReader(DataSourceReader):
-    def __init__(self, path: str, schema: StructType):
+    """``filters_opt`` (the ``.option("filters", json)`` escape hatch):
+    the Python DataSource pushdown API only ever delivers a flat
+    CONJUNCTION of leaf predicates (pyspark's
+    data_source_pushdown_filters worker has no Or node), so a
+    disjunction of ranges — the IVF scattered-cell scan — can never
+    reach ``pushFilters``. The option carries
+    ``{"col": [[lo, hi], ...]}`` (decode()'s multi-range semantics,
+    null = open bound): chunks intersecting NO range are pruned at
+    planning, and the surviving rows are filtered EXACTLY in the reader
+    (pyarrow mask), so the option is a semantic pre-filter, not a hint.
+    Temporal columns are refused (their unit/tz slack logic lives in
+    decode(); JSON has no typed literal to carry them safely)."""
+
+    def __init__(self, path: str, schema: StructType,
+                 filters_opt: "str | None" = None):
         self.schema = schema  # Spark's PRUNED projection
         self.pfs = _PlanFS(path)
         if self.pfs.exists(posixpath.join("_manifest", "plan.json")):
@@ -264,6 +284,25 @@ class PLCReader(DataSourceReader):
         self.wcol = self.plan.get("weight_col", "n_tok")
         self.bounds: dict[str, list] = {}  # col -> [lo, hi] (inclusive)
         self.doc_in: list[str] | None = None  # doc_id IN (...) probe keys
+        self.notnull_cols: set[str] = set()  # IsNotNull pushdowns
+        self.isnull_cols: set[str] = set()   # IsNull pushdowns
+        self.opt_ranges: dict[str, list[tuple]] = {}
+        if filters_opt:
+            from plc.pipeline import _normalize_ranges
+
+            spec = (json.loads(filters_opt)
+                    if isinstance(filters_opt, str) else filters_opt)
+            for col, ranges in spec.items():
+                if col not in self.col_types:
+                    raise ValueError(
+                        f"filters option: unknown column {col!r}; "
+                        f"stored schema has {sorted(self.col_types)}")
+                if self.col_types[col] in ("timestamp", "timestamp_ntz",
+                                           "date"):
+                    raise ValueError(
+                        f"filters option: temporal column {col!r} is not "
+                        f"supported here — use plc.decode(filters=...)")
+                self.opt_ranges[col] = _normalize_ranges(ranges)
 
     # -- filter pushdown ---------------------------------------------------
 
@@ -312,6 +351,15 @@ class PLCReader(DataSourceReader):
                                   hi=max(vals))
                     if f.attribute[0] == "doc_id":
                         self.doc_in = [str(v) for v in vals]
+            elif isinstance(f, IsNotNull) and len(f.attribute) == 1 \
+                    and f.attribute[0] in self.col_types:
+                # stats carry per-column null counts: an all-null chunk
+                # (nulls == n_rows) is prunable
+                self.notnull_cols.add(f.attribute[0])
+            elif isinstance(f, IsNull) and len(f.attribute) == 1 \
+                    and f.attribute[0] in self.col_types:
+                # dual: a null-free chunk (nulls == 0) can't match
+                self.isnull_cols.add(f.attribute[0])
             yield f  # everything is "unsupported": Spark re-filters exactly
 
     # -- planning ----------------------------------------------------------
@@ -329,11 +377,11 @@ class PLCReader(DataSourceReader):
     def _needs_stats(self) -> bool:
         """True when pruning must read the per-chunk stats JSON: bounds on
         a column with no typed min/max column, or a doc_id bloom probe."""
-        if self._doc_probes():
+        if self._doc_probes() or self.notnull_cols or self.isnull_cols:
             return True
         return any(col != "doc_id" and not (col == self.wcol
                                             and self.wcol != "_w")
-                   for col in self.bounds)
+                   for col in list(self.bounds) + list(self.opt_ranges))
 
     def _survives_range(self, meta: dict) -> bool:
         """Typed min/max pruning only (no stats JSON): doc_id bounds and
@@ -353,6 +401,19 @@ class PLCReader(DataSourceReader):
                 if hi is not None and meta["min_w"] is not None \
                         and meta["min_w"] > hi:
                     return False
+        # option multi-ranges on typed columns: survive iff ANY range
+        # intersects the chunk's [min, max]
+        for col, ranges in self.opt_ranges.items():
+            if col == "doc_id":
+                mn, mx = meta["min_doc_id"], meta["max_doc_id"]
+            elif col == self.wcol and self.wcol != "_w":
+                mn, mx = meta["min_w"], meta["max_w"]
+            else:
+                continue  # settled by the stats pass
+            if not any((lo is None or mx is None or mx >= lo) and
+                       (hi is None or mn is None or mn <= hi)
+                       for lo, hi in ranges):
+                return False
         return True
 
     def _survives_stats(self, stats: dict, meta: dict) -> bool:
@@ -394,6 +455,25 @@ class PLCReader(DataSourceReader):
                 return False
             if hi is not None and smin is not None and smin > hi:
                 return False
+        for col in self.notnull_cols:
+            nn = stats.get(col, {}).get("nulls")
+            if nn is not None and meta.get("n_rows") is not None \
+                    and nn >= meta["n_rows"]:
+                return False  # chunk is entirely NULL in this column
+        for col in self.isnull_cols:
+            if stats.get(col, {}).get("nulls") == 0:
+                return False  # chunk has no NULLs to match
+        for col, ranges in self.opt_ranges.items():
+            if col == "doc_id" or (col == self.wcol and self.wcol != "_w"):
+                continue  # settled by _survives_range
+            st = stats.get(col, {})
+            smin, smax = st.get("min"), st.get("max")
+            if smin is None and smax is None:
+                continue  # no stat recorded → keep
+            if not any((lo is None or smax is None or smax >= lo) and
+                       (hi is None or smin is None or smin <= hi)
+                       for lo, hi in ranges):
+                return False
         return True
 
     def _plan_file(self, fpath: str) -> "list[PLCChunkPartition]":
@@ -412,7 +492,8 @@ class PLCReader(DataSourceReader):
                     if self._survives_stats(json.loads(stats[i].as_py()),
                                             rows[i])]
         return [PLCChunkPartition(self.pfs, fpath,
-                                  keep[i : i + _CHUNKS_PER_PART])
+                                  keep[i : i + _CHUNKS_PER_PART],
+                                  self.opt_ranges or None)
                 for i in range(0, len(keep), _CHUNKS_PER_PART)]
 
     def partitions(self):
@@ -497,18 +578,47 @@ def _read_selected(pfs: _PlanFS, file: str, columns: list[str],
         return tbl, local
 
 
+def _ranges_mask(rb, flt: dict):
+    """AND over columns of (OR over that column's (lo, hi) ranges) as a
+    pyarrow boolean mask; NULL values compare to null → dropped by
+    filter, matching decode()'s range semantics."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    mask = None
+    for col, ranges in flt.items():
+        arr = rb.column(col)
+        cm = None
+        for lo, hi in ranges:
+            rm = None
+            if lo is not None:
+                rm = pc.greater_equal(arr, lo)
+            if hi is not None:
+                le = pc.less_equal(arr, hi)
+                rm = le if rm is None else pc.and_kleene(rm, le)
+            if rm is None:  # fully-open range: everything matches
+                rm = pa.array(np.ones(len(arr), dtype=bool))
+            cm = rm if cm is None else pc.or_kleene(cm, rm)
+        mask = cm if mask is None else pc.and_kleene(mask, cm)
+    return mask
+
+
 def _read_chunk_partition(partition: PLCChunkPartition | None,
                           schema: StructType):
     """Executor-side decode of one chunk-file partition (shared by the
-    batch and stream readers)."""
+    batch and stream readers). ``partition.filters`` (the option-supplied
+    multi-ranges) are applied row-exactly here — Spark never saw them, so
+    the reader owns their semantics."""
     import pyarrow as pa
 
     from plc.chunk import unpack_chunk
 
     if partition is None:  # Spark probes an empty partition list once
         return
+    flt = getattr(partition, "filters", None) or {}
     names = [f.name for f in schema.fields]
-    if not names:
+    if not names and not flt:
         # zero-column projection (SELECT count(*)): row counts come
         # from the chunk metadata, no frame is ever decoded
         tbl, local = _read_selected(partition.pfs, partition.file,
@@ -519,13 +629,22 @@ def _read_chunk_partition(partition: PLCChunkPartition | None,
             yield pa.RecordBatch.from_struct_array(
                 pa.array([{}] * rows[i], pa.struct([])))
         return
+    # range columns must be decoded even when not projected
+    dec_names = list(dict.fromkeys(names + [c for c in flt
+                                            if c not in names]))
     tbl, local = _read_selected(partition.pfs, partition.file,
                                 ["payload"], partition.rows)
     payloads = tbl.column("payload")
     idxs = range(len(payloads)) if local is None else local
     for i in idxs:
-        rb = unpack_chunk(payloads[i].as_buffer(), columns=names)
-        yield rb.select(names)
+        rb = unpack_chunk(payloads[i].as_buffer(), columns=dec_names)
+        if flt:
+            rb = rb.filter(_ranges_mask(rb, flt))
+        if not names:  # count(*) under option filters
+            yield pa.RecordBatch.from_struct_array(
+                pa.array([{}] * rb.num_rows, pa.struct([])))
+        else:
+            yield rb.select(names)
 
 
 class PLCStreamReader(DataSourceStreamReader):

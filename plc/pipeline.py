@@ -52,6 +52,9 @@ ENC_SCHEMA_DDL = (
 TEMPORAL_UNIT_TO_US = {"s": 1e6, "ms": 1e3, "us": 1.0, "ns": 1e-3,
                        "d": 86400.0 * 1e6}
 TEMPORAL_TZ_SLACK_US = 26 * 3600 * 1_000_000
+# decode(doc_ids=...) row filter: literal IN-list up to this many keys
+# (Catalyst InSet), broadcast semi-join beyond (VERDICT r4 #7)
+_DOC_IDS_ISIN_MAX = 100_000
 
 _ENC_ARROW_SCHEMA = pa.schema([
     ("part_id", pa.int32()), ("chunk_idx", pa.int32()), ("n_rows", pa.int64()),
@@ -992,7 +995,20 @@ def decode(spark: SparkSession, dst: str, *, doc_id_min: str | None = None,
     if doc_id_max is not None:
         out = out.filter(F.col("doc_id") <= doc_id_max)
     if doc_ids is not None:
-        out = out.filter(F.col("doc_id").isin(list(set(doc_ids))))
+        uniq = list(set(doc_ids))
+        if len(uniq) <= _DOC_IDS_ISIN_MAX:
+            # Catalyst folds a literal IN-list this size into an InSet
+            out = out.filter(F.col("doc_id").isin(uniq))
+        else:
+            # a multi-million-key literal list would bloat the plan tree
+            # itself — route the row filter through a broadcast semi-join
+            # instead (the chunk-pruning side in select_chunks is already
+            # a broadcast semi-join at any key count)
+            cols = out.columns
+            kdf = spark.createDataFrame([(k,) for k in uniq],
+                                        "doc_id string")
+            out = out.join(F.broadcast(kdf), "doc_id", "left_semi") \
+                     .select(*cols)
     for col, spec in filters.items():
         out = out.filter(_ranges_cond(
             _normalize_ranges(spec),
