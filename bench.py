@@ -254,6 +254,17 @@ def main() -> None:
             lambda: decode(spark, dst, doc_ids=keys,
                            columns=["doc_id", "n_tok"])
             .agg({"n_tok": "sum"}).collect())
+        # format-read wall without the store build (the oracled
+        # format_read_agg entry spends most of its time encoding)
+        from pyspark.sql import functions as _F
+
+        from plc.datasource import register as _register
+
+        _register(spark)
+        fmt = spark.read.format("plc").load(dst)
+        timings["format_read_agg_probe"] = _best_of(
+            lambda: fmt.where(_F.col("n_tok") > 10).groupBy("source")
+            .agg(_F.count("*"), _F.sum("n_tok")).collect())
         shutil.rmtree(dst, ignore_errors=True)
 
         for name, q in E.queries().items():

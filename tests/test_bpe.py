@@ -130,3 +130,50 @@ def test_bpe_through_curate_and_training_set(spark):
         assert total_packed == total_src  # packing tiles the corpus
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_native_tokenizer_duck_typed_batch_encoder(spark):
+    """The native-tokenizer hook's Spark plumbing, exercised with a
+    dependency-free batch encoder (the real HF/sentencepiece adapters
+    are gated below): encode_batch drives the whole kernel."""
+    from plc.bpe import native_tokenizer, tokens_table_bpe
+
+    class CharCodes:
+        def encode_batch(self, texts):
+            return [[ord(c) % 97 for c in (t or "")] for t in texts]
+
+    tok = native_tokenizer(CharCodes())
+    df = spark.createDataFrame(
+        [("a", "hi", "web"), ("b", "", "web"), ("c", "xyz", "code")],
+        "doc_id string, text string, source string")
+    rows = {r["doc_id"]: r for r in
+            tokens_table_bpe(df, CharCodes()).collect()}
+    assert rows["a"]["tokens"] == [ord("h") % 97, ord("i") % 97]
+    assert rows["b"]["tokens"] == [] and rows["b"]["n_tok"] == 0
+    assert rows["c"]["n_tok"] == 3 and rows["c"]["source"] == "code"
+    # unsupported objects fail loudly at wrap time
+    import pytest as _pytest
+    with _pytest.raises(TypeError, match="unsupported tokenizer"):
+        native_tokenizer(object())
+    assert tok is not None
+
+
+def test_native_tokenizer_hf_gated(spark):
+    """HF tokenizers adapter (auto-skips: the library does not ship in
+    this sandbox — same gating class as PIL)."""
+    tokenizers = __import__("pytest").importorskip("tokenizers")
+    from tokenizers import models, Tokenizer
+
+    from plc.bpe import tokens_table_bpe
+
+    tok = Tokenizer(models.BPE())
+    df = spark.createDataFrame([("a", "x", "web")],
+                               "doc_id string, text string, source string")
+    out = tokens_table_bpe(df, tok).collect()
+    assert len(out) == 1
+
+
+def test_native_tokenizer_sentencepiece_gated(spark):
+    """sentencepiece adapter (auto-skips when the library is absent)."""
+    spm = __import__("pytest").importorskip("sentencepiece")
+    assert hasattr(spm, "SentencePieceProcessor")
