@@ -438,11 +438,13 @@ def main() -> None:
                 members[arm] = r
             pairs.append((members["n"], members["n4"]))
             if base is not None:
-                # stop once the paired median rests on >=2 CLEAN pairs
-                # (both members within the absolute gate)
+                # stop once the paired median rests on >=3 CLEAN pairs
+                # (both members within the absolute gate) — per-pair
+                # ratios spread ~±0.07 between windows, so a 2-pair
+                # median is one bad pair away from noise
                 have_clean = sum(
                     1 for a, b in pairs
-                    if _clean(a, "n") and _clean(b, "n4")) >= 2
+                    if _clean(a, "n") and _clean(b, "n4")) >= 3
                 # drift extension: when even the best CLEAN sample of an
                 # arm sits >extend_factor over the quiet anchor, the
                 # window is running slow (between-windows tenant drift
@@ -459,8 +461,8 @@ def main() -> None:
                 # arm min" is trivially true
                 have_clean = (all(_clean(r, "n") for r in lo_runs) and
                               all(_clean(r, "n4") for r in hi_runs))
-            if i >= 2 and have_clean:
-                break  # >=3 pairs AND a clean sample per arm
+            if i >= 3 and have_clean:
+                break  # >=4 pairs AND >=3 clean pairs
             if time.perf_counter() - t_scaling > BUDGET_SEC and i >= 2:
                 break  # bounded wait under sustained contention
         lo_clean = [r for r in lo_runs if _clean(r, "n")] or lo_runs
@@ -516,7 +518,7 @@ def main() -> None:
             "schema_version": 3,
             "n_threads": 1, "n4_threads": 4,
             "protocol": ("back-to-back load-gated pairs at local[1] vs "
-                         "local[4] (order alternating per pair), min 3 "
+                         "local[4] (order alternating per pair), min 4 "
                          "/ max 8 pairs, pre-gated on a 4-thread probe "
                          "landing within extend_factor of the anchor "
                          "(<=5 min); a sample is CLEAN iff its "
@@ -525,7 +527,7 @@ def main() -> None:
                          "quiet-window baseline "
                          "(BENCH/quiet_baseline.json — an absolute "
                          "external standard, not the pass threshold); "
-                         "pairs keep interleaving until >=2 pairs are "
+                         "pairs keep interleaving until >=3 pairs are "
                          "clean AND the best clean sample per arm is "
                          "within extend_factor of the anchor "
                          "(between-windows drift evidence, still keyed "

@@ -50,7 +50,9 @@ import pyarrow.parquet as pq
 from dataclasses import dataclass
 
 from pyspark.sql.datasource import (DataSource, DataSourceArrowWriter,
-                                    DataSourceReader, DataSourceStreamReader,
+                                    DataSourceReader,
+                                    DataSourceStreamArrowWriter,
+                                    DataSourceStreamReader,
                                     EqualTo, GreaterThan, GreaterThanOrEqual,
                                     In, InputPartition, IsNotNull, IsNull,
                                     LessThan, LessThanOrEqual,
@@ -227,6 +229,11 @@ class PLCDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> "PLCStreamReader":
         return PLCStreamReader(self._path(), schema)
+
+    def streamWriter(self, schema: StructType,
+                     overwrite: bool) -> "PLCStreamWriter":
+        return PLCStreamWriter(self._path(), schema,
+                               self.options.get("max_chunk_values"))
 
 
 class PLCChunkPartition(InputPartition):
@@ -761,155 +768,235 @@ class PLCWriter(DataSourceArrowWriter):
                 pass
 
     def write(self, iterator):
-        import uuid
-
-        import pyarrow as pa
-        import pyarrow.compute as pc
-
         from pyspark import TaskContext
 
-        from plc.chunk import EncodeConfig, column_stats, pack_chunk
-        from plc.pipeline import _ENC_ARROW_SCHEMA
-
         pid = TaskContext.get().partitionId()
-        cfg = EncodeConfig()
-        enc_rows: list[pa.RecordBatch] = []
-        buf: list[pa.RecordBatch] = []
-        wsum = 0
-        chunk_idx = 0
-        totals = {"rows": 0, "tokens": 0, "raw": 0, "enc": 0}
-        mins, maxs = [], []
-
-        def flush():
-            nonlocal buf, wsum, chunk_idx
-            if not buf:
-                return
-            big = (buf[0] if len(buf) == 1 else
-                   pa.Table.from_batches(buf).combine_chunks()
-                   .to_batches(max_chunksize=1 << 31)[0])
-            blob, codecs = pack_chunk(big, cfg)
-            stats = column_stats(big)
-            mm = pc.min_max(big.column("doc_id")).as_py()
-            wstat = stats.get("n_tok", {})
-            toks = int(wsum) if self.wcol == "n_tok" else big.num_rows
-            raw_b = toks * 4 if self.wcol == "n_tok" else int(big.nbytes)
-            enc_rows.append(pa.RecordBatch.from_arrays([
-                pa.array([pid], pa.int32()),
-                pa.array([chunk_idx], pa.int32()),
-                pa.array([big.num_rows], pa.int64()),
-                pa.array([toks], pa.int64()),
-                pa.array([raw_b], pa.int64()),
-                pa.array([len(blob)], pa.int64()),
-                pa.array([mm["min"]], pa.string()),
-                pa.array([mm["max"]], pa.string()),
-                pa.array([wstat.get("min")], pa.int64()),
-                pa.array([wstat.get("max")], pa.int64()),
-                pa.array([json.dumps(stats)], pa.string()),
-                pa.array([json.dumps(codecs)], pa.string()),
-                pa.array([blob], pa.binary()),
-            ], schema=_ENC_ARROW_SCHEMA))
-            totals["rows"] += big.num_rows
-            totals["tokens"] += toks
-            totals["raw"] += raw_b
-            totals["enc"] += len(blob)
-            mins.append(mm["min"])
-            maxs.append(mm["max"])
-            chunk_idx += 1
-            buf, wsum = [], 0
-
-        for batch in iterator:
-            if batch.num_rows == 0:
-                continue
-            w = (int(pc.sum(batch.column("n_tok")).as_py() or 0)
-                 if self.wcol == "n_tok" else batch.num_rows)
-            buf.append(batch)
-            wsum += w
-            if wsum >= self.max_vals:
-                flush()
-        flush()
-        if not enc_rows:
-            return PLCCommit(pid, None, 0, 0, 0, 0, 0, None, None)
-        # tasks write STRAIGHT into the part dir (works on any pyarrow.fs
-        # target — object stores have no atomic rename to lean on) with a
-        # per-attempt unique name; the manifest written by commit() names
-        # exactly the winning attempt's file, and readers open only
-        # manifest-named files, so a zombie or speculative attempt
-        # finishing at ANY time — even after commit — leaves an invisible
-        # orphan, never duplicate data. That is a strictly stronger
-        # guarantee than a rename-based promotion, with zero copies.
-        pdir = self.pfs.join("data", f"part_id={pid}")
-        self.pfs.fs.create_dir(pdir, recursive=True)
-        fname = (f"part-{pid:05d}-{self.jobid}-"
-                 f"{uuid.uuid4().hex[:12]}.parquet")
-        tbl = pa.Table.from_batches(enc_rows).drop_columns(["part_id"])
-        # one row group per partition slice so sliced readers touch only
-        # their own chunks' bytes (_read_selected)
-        with self.pfs.fs.open_output_stream(
-                posixpath.join(pdir, fname)) as f:
-            pq.write_table(tbl, f, compression="none",
-                           row_group_size=_CHUNKS_PER_PART)
-        return PLCCommit(pid, fname, chunk_idx, totals["rows"],
-                         totals["tokens"], totals["raw"], totals["enc"],
-                         min(mins), max(maxs))
-
+        return _encode_task_partition(self.pfs, "", pid, self.jobid,
+                                      self.wcol, self.max_vals, iterator)
     def commit(self, messages) -> None:
-        import pyarrow as pa
-
         msgs = [m for m in messages if m is not None]
-        # best-effort sweep of losing-attempt orphans (readers ignore
-        # them via the manifest's file list regardless — this only
-        # reclaims their bytes; a zombie finishing after the sweep leaves
-        # a bounded, invisible leftover)
-        winners = {m.file for m in msgs if m.file}
-        try:
-            for st in self.pfs.listdir("data"):
-                name = posixpath.basename(st.path)
-                if not name.startswith("part_id="):
-                    continue
-                for fi in self.pfs.listdir(
-                        posixpath.join("data", name)):
-                    base = posixpath.basename(fi.path)
-                    if base.endswith(".parquet") and base not in winners:
-                        self.pfs.fs.delete_file(fi.path)
-        except OSError:
-            pass
-        self.pfs.fs.create_dir(self.pfs.join("_manifest", "parts"),
-                               recursive=True)
-        plan = {
-            "n_parts": (max((m.part_id for m in msgs), default=0) + 1),
-            "bounds": [], "tau": 2**31 - 1, "weight_col": self.wcol,
-            "straggler_parts": 0,
-            "total_rows": sum(m.n_rows for m in msgs),
-            "schema": self.schema.jsonValue(),
-        }
-        with self.pfs.fs.open_output_stream(
-                self.pfs.join("_manifest", "plan.json")) as f:
-            f.write(json.dumps(plan).encode("utf-8"))
-        man = pa.table({
-            "part_id": pa.array([m.part_id for m in msgs], pa.int32()),
-            "n_chunks": pa.array([m.n_chunks for m in msgs], pa.int64()),
-            "n_rows": pa.array([m.n_rows for m in msgs], pa.int64()),
-            "n_tokens": pa.array([m.n_tokens for m in msgs], pa.int64()),
-            "raw_bytes": pa.array([m.raw_bytes for m in msgs], pa.int64()),
-            "enc_bytes": pa.array([m.enc_bytes for m in msgs], pa.int64()),
-            "min_doc_id": pa.array([m.min_doc_id for m in msgs],
-                                   pa.string()),
-            "max_doc_id": pa.array([m.max_doc_id for m in msgs],
-                                   pa.string()),
-            # the commit point: readers open exactly these files and
-            # nothing else in the part dirs
-            "file": pa.array([m.file for m in msgs], pa.string()),
-        })
-        with self.pfs.fs.open_output_stream(
-                self.pfs.join("_manifest", "parts",
-                              "manifest-0.parquet")) as f:
-            pq.write_table(man, f)
+        _commit_store(self.pfs, "", msgs, self.wcol, self.schema)
 
     def abort(self, messages) -> None:
         # no manifest was committed, so nothing is readable; drop the
         # data dir this job was filling for a clean retry
         try:
             self.pfs.fs.delete_dir(self.pfs.join("data"))
+        except OSError:
+            pass
+
+
+def _encode_task_partition(pfs: _PlanFS, rel: str, pid: int, jobid: str,
+                           wcol: str, max_vals: int, iterator) -> "PLCCommit":
+    """Executor side of a format write (batch AND streaming): pack the
+    task's Arrow batches into codec chunks and write ONE parquet file
+    STRAIGHT into ``<rel>/data/part_id=<pid>/`` (works on any pyarrow.fs
+    target — object stores have no atomic rename to lean on) under a
+    per-attempt unique name. The manifest written by the driver's
+    commit() names exactly the winning attempt's file, and readers open
+    only manifest-named files, so a zombie or speculative attempt
+    finishing at ANY time — even after commit — leaves an invisible
+    orphan, never duplicate data. That is a strictly stronger guarantee
+    than a rename-based promotion, with zero copies."""
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from plc.chunk import EncodeConfig, column_stats, pack_chunk
+    from plc.pipeline import _ENC_ARROW_SCHEMA
+
+    cfg = EncodeConfig()
+    enc_rows: list[pa.RecordBatch] = []
+    buf: list[pa.RecordBatch] = []
+    wsum = 0
+    chunk_idx = 0
+    totals = {"rows": 0, "tokens": 0, "raw": 0, "enc": 0}
+    mins, maxs = [], []
+
+    def flush():
+        nonlocal buf, wsum, chunk_idx
+        if not buf:
+            return
+        big = (buf[0] if len(buf) == 1 else
+               pa.Table.from_batches(buf).combine_chunks()
+               .to_batches(max_chunksize=1 << 31)[0])
+        blob, codecs = pack_chunk(big, cfg)
+        stats = column_stats(big)
+        mm = pc.min_max(big.column("doc_id")).as_py()
+        wstat = stats.get("n_tok", {})
+        toks = int(wsum) if wcol == "n_tok" else big.num_rows
+        raw_b = toks * 4 if wcol == "n_tok" else int(big.nbytes)
+        enc_rows.append(pa.RecordBatch.from_arrays([
+            pa.array([pid], pa.int32()),
+            pa.array([chunk_idx], pa.int32()),
+            pa.array([big.num_rows], pa.int64()),
+            pa.array([toks], pa.int64()),
+            pa.array([raw_b], pa.int64()),
+            pa.array([len(blob)], pa.int64()),
+            pa.array([mm["min"]], pa.string()),
+            pa.array([mm["max"]], pa.string()),
+            pa.array([wstat.get("min")], pa.int64()),
+            pa.array([wstat.get("max")], pa.int64()),
+            pa.array([json.dumps(stats)], pa.string()),
+            pa.array([json.dumps(codecs)], pa.string()),
+            pa.array([blob], pa.binary()),
+        ], schema=_ENC_ARROW_SCHEMA))
+        totals["rows"] += big.num_rows
+        totals["tokens"] += toks
+        totals["raw"] += raw_b
+        totals["enc"] += len(blob)
+        mins.append(mm["min"])
+        maxs.append(mm["max"])
+        chunk_idx += 1
+        buf, wsum = [], 0
+
+    for batch in iterator:
+        if batch.num_rows == 0:
+            continue
+        w = (int(pc.sum(batch.column("n_tok")).as_py() or 0)
+             if wcol == "n_tok" else batch.num_rows)
+        buf.append(batch)
+        wsum += w
+        if wsum >= max_vals:
+            flush()
+    flush()
+    if not enc_rows:
+        return PLCCommit(pid, None, 0, 0, 0, 0, 0, None, None)
+    pdir = pfs.join(rel, "data", f"part_id={pid}") if rel else \
+        pfs.join("data", f"part_id={pid}")
+    pfs.fs.create_dir(pdir, recursive=True)
+    fname = f"part-{pid:05d}-{jobid}-{_uuid.uuid4().hex[:12]}.parquet"
+    tbl = pa.Table.from_batches(enc_rows).drop_columns(["part_id"])
+    # one row group per partition slice so sliced readers touch only
+    # their own chunks' bytes (_read_selected)
+    with pfs.fs.open_output_stream(posixpath.join(pdir, fname)) as f:
+        pq.write_table(tbl, f, compression="none",
+                       row_group_size=_CHUNKS_PER_PART)
+    return PLCCommit(pid, fname, chunk_idx, totals["rows"],
+                     totals["tokens"], totals["raw"], totals["enc"],
+                     min(mins), max(maxs))
+
+
+def _commit_store(pfs: _PlanFS, rel: str, msgs: list, wcol: str,
+                  schema: StructType) -> None:
+    """Driver side of a format write: sweep losing-attempt orphans
+    best-effort (readers ignore them via the manifest's file list
+    regardless — this only reclaims their bytes; a zombie finishing
+    after the sweep leaves a bounded, invisible leftover), then write
+    plan.json + the parts manifest that NAMES each winning file — the
+    commit point."""
+    import pyarrow as pa
+
+    def j(*parts):
+        return pfs.join(rel, *parts) if rel else pfs.join(*parts)
+
+    winners = {m.file for m in msgs if m.file}
+    data_rel = posixpath.join(rel, "data") if rel else "data"
+    try:
+        for st in pfs.listdir(data_rel):
+            name = posixpath.basename(st.path)
+            if not name.startswith("part_id="):
+                continue
+            for fi in pfs.listdir(posixpath.join(data_rel, name)):
+                base = posixpath.basename(fi.path)
+                if base.endswith(".parquet") and base not in winners:
+                    pfs.fs.delete_file(fi.path)
+    except OSError:
+        pass
+    pfs.fs.create_dir(j("_manifest", "parts"), recursive=True)
+    plan = {
+        "n_parts": (max((m.part_id for m in msgs), default=0) + 1),
+        "bounds": [], "tau": 2**31 - 1, "weight_col": wcol,
+        "straggler_parts": 0,
+        "total_rows": sum(m.n_rows for m in msgs),
+        "schema": schema.jsonValue(),
+    }
+    with pfs.fs.open_output_stream(j("_manifest", "plan.json")) as f:
+        f.write(json.dumps(plan).encode("utf-8"))
+    man = pa.table({
+        "part_id": pa.array([m.part_id for m in msgs], pa.int32()),
+        "n_chunks": pa.array([m.n_chunks for m in msgs], pa.int64()),
+        "n_rows": pa.array([m.n_rows for m in msgs], pa.int64()),
+        "n_tokens": pa.array([m.n_tokens for m in msgs], pa.int64()),
+        "raw_bytes": pa.array([m.raw_bytes for m in msgs], pa.int64()),
+        "enc_bytes": pa.array([m.enc_bytes for m in msgs], pa.int64()),
+        "min_doc_id": pa.array([m.min_doc_id for m in msgs], pa.string()),
+        "max_doc_id": pa.array([m.max_doc_id for m in msgs], pa.string()),
+        # the commit point: readers open exactly these files and
+        # nothing else in the part dirs
+        "file": pa.array([m.file for m in msgs], pa.string()),
+    })
+    with pfs.fs.open_output_stream(
+            j("_manifest", "parts", "manifest-0.parquet")) as f:
+        pq.write_table(man, f)
+
+
+class PLCStreamWriter(DataSourceStreamArrowWriter):
+    """``df.writeStream.format("plc").option("checkpointLocation", ...)
+    .start(dst)`` — the declarative counterpart of
+    :func:`plc.streaming.encode_stream`, producing the SAME layout: each
+    microbatch becomes a ``batch=<id>/`` sub-store (plan + file-naming
+    manifest + atomic ``_STREAM_COMMITTED`` marker), so decode_stream,
+    ``spark.readStream.format("plc")`` and the batch reader's stream-root
+    union all consume it unchanged.
+
+    Tasks learn their microbatch id from the ``streaming.sql.batchId``
+    task-local property (set by Spark's MicroBatchExecution on every sink
+    job) and write straight into the batch sub-store through pyarrow.fs —
+    URI-capable and rename-free like the batch writer. Exactly-once: the
+    marker is written only after commit() persists the manifest; a batch
+    replayed after a crash rewrites its sub-store (new file names, same
+    content), commit re-sweeps and re-names files, and readers gate on
+    the marker, so partial batches are never visible."""
+
+    def __init__(self, path: str, schema: StructType, max_chunk_values):
+        if "doc_id" not in schema.fieldNames():
+            raise ValueError("plc stores require a doc_id column "
+                             "(chunk pruning + lineage identity)")
+        if not isinstance(schema["doc_id"].dataType, StringType):
+            raise ValueError(
+                f"plc stores require doc_id to be a string column (got "
+                f"{schema['doc_id'].dataType.simpleString()}); cast it "
+                f"first")
+        self.path = path
+        self.pfs = _PlanFS(path)
+        self.schema = schema
+        self.max_vals = int(max_chunk_values or (1 << 22))
+        self.wcol = "n_tok" if "n_tok" in schema.fieldNames() else "_w"
+        import uuid
+
+        self.jobid = uuid.uuid4().hex[:12]
+
+    def write(self, iterator):
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        bid = tc.getLocalProperty("streaming.sql.batchId")
+        if bid is None:
+            raise RuntimeError(
+                "plc stream sink: task has no streaming.sql.batchId "
+                "local property — not running under MicroBatchExecution?")
+        return _encode_task_partition(self.pfs, f"batch={int(bid)}",
+                                      tc.partitionId(), self.jobid,
+                                      self.wcol, self.max_vals, iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        msgs = [m for m in messages if m is not None]
+        rel = f"batch={batchId}"
+        _commit_store(self.pfs, rel, msgs, self.wcol, self.schema)
+        # the atomic full-batch signal every reader gates on (same
+        # contract as plc.streaming.encode_stream)
+        with self.pfs.fs.open_output_stream(
+                self.pfs.join(rel, "_manifest",
+                              "_STREAM_COMMITTED")) as f:
+            f.write(b"1")
+
+    def abort(self, messages, batchId: int) -> None:
+        # no marker was written, so the batch dir is invisible; drop it
+        # for a clean replay
+        try:
+            self.pfs.fs.delete_dir(self.pfs.join(f"batch={batchId}"))
         except OSError:
             pass
 

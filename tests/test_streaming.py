@@ -222,3 +222,58 @@ def test_bloom_state_is_fixed_size():
     probe2 = rng.integers(0, 2**63, 20_000).astype(np.uint64)
     fpr = contains(probe1, probe2).mean()
     assert fpr < 0.03, fpr
+
+
+def test_format_stream_sink_writes_committed_batch_stores(spark):
+    """df.writeStream.format("plc") — the declarative stream sink: each
+    microbatch lands as a batch=<id>/ sub-store with a file-naming
+    manifest and the atomic _STREAM_COMMITTED marker (encode_stream's
+    exact layout), written straight through pyarrow.fs via the
+    streaming.sql.batchId task property (no renames). The batch reader,
+    decode_stream and readStream all consume it unchanged."""
+    import glob as g
+
+    from plc.datasource import register
+
+    register(spark)
+    src = tempfile.mkdtemp(prefix="plc_fssrc_")
+    dst = tempfile.mkdtemp(prefix="plc_fsdst_") + "/store"
+    ckpt = tempfile.mkdtemp(prefix="plc_fsck_")
+    try:
+        _mkfiles(src, n_files=4, rows=200)
+        stream = (spark.readStream.schema(SCHEMA)
+                  .option("maxFilesPerTrigger", "2").parquet(src))
+        q = (stream.writeStream.format("plc")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start(dst))
+        q.awaitTermination(300)
+        assert not q.isActive
+        batches = sorted(g.glob(dst + "/batch=*"))
+        assert len(batches) >= 2  # maxFilesPerTrigger split the input
+        for b in batches:
+            assert os.path.exists(b + "/_manifest/_STREAM_COMMITTED")
+            man = g.glob(b + "/_manifest/parts/*.parquet")
+            assert man
+        total = 4 * 200
+        # batch read over the stream root (manifest-named files only)
+        assert spark.read.format("plc").load(dst).count() == total
+        # decode_stream (the foreachBatch-era reader) sees the same store
+        assert decode_stream(spark, dst).count() == total
+        # readStream over the sink's own output
+        out = (spark.readStream.format("plc").load(dst)
+               .groupBy().count()
+               .writeStream.outputMode("complete").format("memory")
+               .queryName("plc_sink_rt").trigger(availableNow=True)
+               .start())
+        out.awaitTermination(300)
+        got = spark.sql("select * from plc_sink_rt").collect()
+        assert got and got[0]["count"] == total
+        # an orphan planted in a committed batch's part dir is invisible
+        pdir = sorted(g.glob(batches[0] + "/data/part_id=*"))[0]
+        realf = g.glob(pdir + "/*.parquet")[0]
+        shutil.copy(realf, pdir + "/part-zombie.parquet")
+        assert spark.read.format("plc").load(dst).count() == total
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(os.path.dirname(dst), ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
