@@ -468,8 +468,13 @@ def main() -> None:
         lo_clean = [r for r in lo_runs if _clean(r, "n")] or lo_runs
         hi_clean = [r for r in hi_runs if _clean(r, "n4")] or hi_runs
         if base is not None:
-            contaminated = not (any(_clean(r, "n") for r in lo_runs)
-                                and any(_clean(r, "n4") for r in hi_runs))
+            # PAIR-level: the headline median is computed over clean
+            # PAIRS, so the honesty flag must key on the same unit — a
+            # window with a clean lo in one pair and a clean hi in
+            # another (but no clean pair) would otherwise publish a
+            # median of dirty ratios as uncontaminated
+            contaminated = not any(_clean(a, "n") and _clean(b, "n4")
+                                   for a, b in pairs)
             # the drift extension can exhaust the pair cap without ever
             # finding an anchor-close clean sample — that unresolved
             # state must be visible in the artifact, or a drift-skewed

@@ -50,8 +50,11 @@ class BPETokenizer:
         merges: list[tuple[str, str]] = []
         with open(merges_path) as f:
             for lineno, line in enumerate(f, 1):
-                if not line.strip() or line.startswith("#"):
-                    continue  # comment/version header lines
+                if not line.strip():
+                    continue
+                if lineno == 1 and line.startswith("#"):
+                    continue  # '#version: 0.2' header (first line only —
+                    # '# #' elsewhere is a REAL hash-pair merge)
                 parts = line.split()  # tolerate trailing/extra whitespace
                 if len(parts) != 2:
                     raise ValueError(

@@ -384,7 +384,15 @@ class PLCReader(DataSourceReader):
     def _needs_stats(self) -> bool:
         """True when pruning must read the per-chunk stats JSON: bounds on
         a column with no typed min/max column, or a doc_id bloom probe."""
-        if self._doc_probes() or self.notnull_cols or self.isnull_cols:
+        # IsNotNull deliberately NOT here: Catalyst infers isnotnull()
+        # next to every comparison, so letting it trigger the stats
+        # fetch would put the 256KB-bloom slow path on essentially every
+        # filtered scan (the VERDICT r3 #2 regression). It still prunes
+        # opportunistically in _survives_stats when stats are loaded for
+        # another reason. IsNull is an explicit user predicate and
+        # genuinely selective (null-free stores prune to nothing) — it
+        # stays a trigger.
+        if self._doc_probes() or self.isnull_cols:
             return True
         return any(col != "doc_id" and not (col == self.wcol
                                             and self.wcol != "_w")
@@ -984,19 +992,53 @@ class PLCStreamWriter(DataSourceStreamArrowWriter):
     def commit(self, messages, batchId: int) -> None:
         msgs = [m for m in messages if m is not None]
         rel = f"batch={batchId}"
+        marker = posixpath.join(rel, "_manifest", "_STREAM_COMMITTED")
+        if self.pfs.exists(marker):
+            # a COMMITTED batch is immutable — readers may already have
+            # consumed it. Two ways to get here: (a) Spark replays batch
+            # N after a crash between sink commit and its checkpoint
+            # write — same offsets, same rows, so keeping the original
+            # files IS exactly-once; sweep only this attempt's fresh
+            # orphans. (b) a NEW stream (fresh checkpoint) pointed at a
+            # dst holding an older stream's batches — overwriting would
+            # silently destroy committed data, so refuse loudly when the
+            # totals don't match a genuine replay.
+            old = _load_plan(self.pfs, rel)
+            new_rows = sum(m.n_rows for m in msgs)
+            if old.get("total_rows") != new_rows:
+                raise RuntimeError(
+                    f"plc stream sink: {self.path}/{rel} is already "
+                    f"committed with {old.get('total_rows')} rows but "
+                    f"this microbatch produced {new_rows} — {rel} "
+                    f"belongs to a different stream (dst reuse with a "
+                    f"fresh checkpoint?). Committed batches are "
+                    f"immutable; use a fresh dst or remove the old "
+                    f"batch dirs explicitly.")
+            for m in msgs:  # drop the replay attempt's duplicate files
+                if m.file:
+                    try:
+                        self.pfs.fs.delete_file(self.pfs.join(
+                            rel, "data", f"part_id={m.part_id}", m.file))
+                    except OSError:
+                        pass
+            return
         _commit_store(self.pfs, rel, msgs, self.wcol, self.schema)
         # the atomic full-batch signal every reader gates on (same
         # contract as plc.streaming.encode_stream)
-        with self.pfs.fs.open_output_stream(
-                self.pfs.join(rel, "_manifest",
-                              "_STREAM_COMMITTED")) as f:
+        with self.pfs.fs.open_output_stream(self.pfs.join(marker)) as f:
             f.write(b"1")
 
     def abort(self, messages, batchId: int) -> None:
-        # no marker was written, so the batch dir is invisible; drop it
-        # for a clean replay
+        rel = f"batch={batchId}"
+        if self.pfs.exists(posixpath.join(rel, "_manifest",
+                                          "_STREAM_COMMITTED")):
+            # replay attempt of an already-committed (reader-visible)
+            # batch failed: the committed data must survive untouched
+            return
+        # no marker: the batch dir is invisible; drop it for a clean
+        # replay
         try:
-            self.pfs.fs.delete_dir(self.pfs.join(f"batch={batchId}"))
+            self.pfs.fs.delete_dir(self.pfs.join(rel))
         except OSError:
             pass
 

@@ -1005,7 +1005,9 @@ def decode(spark: SparkSession, dst: str, *, doc_id_min: str | None = None,
             # instead (the chunk-pruning side in select_chunks is already
             # a broadcast semi-join at any key count)
             cols = out.columns
-            kdf = spark.createDataFrame([(k,) for k in uniq],
+            # str() like the isin branch's implicit cast — int keys must
+            # behave identically on both sides of the size threshold
+            kdf = spark.createDataFrame([(str(k),) for k in uniq],
                                         "doc_id string")
             out = out.join(F.broadcast(kdf), "doc_id", "left_semi") \
                      .select(*cols)

@@ -641,10 +641,14 @@ def test_or_of_ranges_via_filters_option(spark, store):
 
 
 def test_isnotnull_isnull_pushdown_prunes_all_null_chunks(spark):
-    """IsNotNull prunes chunks whose column is entirely NULL (stats
-    nulls == n_rows); IsNull prunes null-free chunks (VERDICT r4 #6)."""
-    from plc.datasource import PLCReader, _load_plan, register
-    from pyspark.sql.datasource import IsNotNull, IsNull
+    """IsNull prunes null-free chunks (explicit user predicate — it may
+    trigger the stats fetch); IsNotNull prunes all-NULL chunks but only
+    OPPORTUNISTICALLY — Catalyst auto-infers isnotnull() next to every
+    comparison, so it must never be the sole trigger of the stats-JSON
+    slow path (VERDICT r3 #2 planner fast path; review finding r5)."""
+    from plc.datasource import PLCReader, _load_plan, _PlanFS, register
+    from pyspark.sql.datasource import (GreaterThan, GreaterThanOrEqual,
+                                        IsNotNull, IsNull)
     from pyspark.sql.types import StructType
 
     register(spark)
@@ -662,15 +666,45 @@ def test_isnotnull_isnull_pushdown_prunes_all_null_chunks(spark):
     schema = StructType.fromJson(_load_plan(dst)["schema"])
     n_all = _n_chunks_planned(PLCReader(dst, schema))
 
-    r_nn = PLCReader(dst, schema)
-    list(r_nn.pushFilters([IsNotNull(("source",))]))
-    n_nn = _n_chunks_planned(r_nn)
+    reads = []
+    orig = _PlanFS.read_parquet
+
+    def spy(self, path, columns):
+        reads.append(tuple(columns) if columns is not None else None)
+        return orig(self, path, columns)
+
+    _PlanFS.read_parquet = spy
+    try:
+        # the realistic Catalyst shape — a comparison plus its inferred
+        # isnotnull — must stay on the typed-column fast path (no stats
+        # fetch, no pruning regression at 10^5 files)
+        r_fast = PLCReader(dst, schema)
+        list(r_fast.pushFilters([GreaterThan(("n_tok",), 1),
+                                 IsNotNull(("n_tok",))]))
+        n_fast = _n_chunks_planned(r_fast)
+        assert not any(c == ("stats",) for c in reads), \
+            "inferred IsNotNull triggered the stats slow path"
+        assert n_fast == n_all
+    finally:
+        _PlanFS.read_parquet = orig
+
+    # explicit IS NULL: prunes null-free chunks (stats fetch is earned)
     r_in = PLCReader(dst, schema)
     list(r_in.pushFilters([IsNull(("source",))]))
     n_in = _n_chunks_planned(r_in)
-    assert n_nn < n_all, (n_nn, n_all)   # all-null chunks pruned
-    assert n_in < n_all, (n_in, n_all)   # null-free chunks pruned
-    assert n_nn + n_in >= n_all          # superset pruning, no loss
+    assert n_in < n_all, (n_in, n_all)
+    # IsNotNull prunes all-null chunks opportunistically when stats are
+    # already being read (here: a generic bound on the same stats-only
+    # column, which by itself prunes nothing)
+    r_b = PLCReader(dst, schema)
+    list(r_b.pushFilters([GreaterThanOrEqual(("source",), "a")]))
+    n_bound = _n_chunks_planned(r_b)
+    r_nn = PLCReader(dst, schema)
+    list(r_nn.pushFilters([GreaterThanOrEqual(("source",), "a"),
+                           IsNotNull(("source",))]))
+    n_nn = _n_chunks_planned(r_nn)
+    assert n_nn < n_bound, (n_nn, n_bound)  # all-null chunks pruned
+    assert n_nn + n_in >= n_all             # superset pruning, no loss
     # end-to-end counts stay exact (Spark re-filters)
     df = spark.read.format("plc").load(dst)
     assert df.filter(F.col("source").isNotNull()).count() == 1000

@@ -277,3 +277,41 @@ def test_format_stream_sink_writes_committed_batch_stores(spark):
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(os.path.dirname(dst), ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_format_stream_sink_committed_batch_is_immutable(spark):
+    """Review findings r5: a committed (marker-visible) batch must
+    survive abort() of a failed replay attempt; a genuine replay commit
+    (same totals) is an idempotent no-op that drops only the replay's
+    duplicate files; a commit with DIFFERENT totals (a new stream reusing
+    the dst with a fresh checkpoint) is refused instead of silently
+    destroying committed data."""
+    from plc.datasource import PLCCommit, PLCStreamWriter
+
+    dst = tempfile.mkdtemp(prefix="plc_fsim_") + "/store"
+    schema = spark.createDataFrame([], SCHEMA).schema
+    w = PLCStreamWriter(dst, schema, None)
+    pdir = dst + "/batch=0/data/part_id=0"
+    os.makedirs(pdir)
+    with open(pdir + "/f1.parquet", "wb") as f:
+        f.write(b"x")
+    msg = PLCCommit(0, "f1.parquet", 1, 10, 40, 160, 80, "a", "b")
+    w.commit([msg], 0)
+    marker = dst + "/batch=0/_manifest/_STREAM_COMMITTED"
+    assert os.path.exists(marker)
+    # failed replay attempt aborts AFTER the original commit: no-op
+    w.abort([msg], 0)
+    assert os.path.exists(marker) and os.path.exists(pdir + "/f1.parquet")
+    # genuine replay (same totals): idempotent, replay's file dropped
+    with open(pdir + "/f2.parquet", "wb") as f:
+        f.write(b"y")
+    w.commit([PLCCommit(0, "f2.parquet", 1, 10, 40, 160, 80, "a", "b")], 0)
+    assert os.path.exists(pdir + "/f1.parquet")
+    assert not os.path.exists(pdir + "/f2.parquet")
+    # dst reuse by a different stream (different totals): refused
+    with pytest.raises(RuntimeError, match="immutable"):
+        w.commit([PLCCommit(0, "f3.parquet", 1, 999, 0, 0, 0, "a", "b")], 0)
+    # an UNcommitted batch still aborts clean
+    os.makedirs(dst + "/batch=1/data/part_id=0")
+    w.abort([msg], 1)
+    assert not os.path.exists(dst + "/batch=1")
