@@ -268,6 +268,35 @@ def _format_read_agg(spark, sf):
                  F.sum("n_tok").alias("total_tokens")))
 
 
+def _format_multirange_agg(spark, sf):
+    """P8e (r5): OR-of-ranges through the declarative read — the Python
+    DS pushdown API only delivers flat conjunctions, so disjunctive range
+    scans ride the ``.option("filters", json)`` escape hatch: multi-range
+    chunk pruning at planning plus an exact row mask in the reader
+    (decode()'s K26 semantics from pure SQL reads). Two disjoint n_tok
+    bands aggregated per source; the oracle recomputes the same OR
+    predicate straight from the documents table."""
+    import json as _json
+
+    from plc.datasource import register
+    from plc.pipeline import PipelineConfig, encode
+
+    src = tokens_view(spark, sf)
+    dst = tempfile.mkdtemp(prefix="plc_qfmr_")
+    encode(spark, src, dst,
+           PipelineConfig(num_partitions=4, straggler_parts=0,
+                          max_chunk_values=500_000), mode="overwrite")
+    register(spark)
+    spec = {"n_tok": [[None, 40], [120, None]]}
+    df = (spark.read.format("plc")
+          .option("filters", _json.dumps(spec)).load(dst))
+    return (df.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tok").alias("total_tokens"),
+                 F.min("n_tok").alias("min_tok"),
+                 F.max("n_tok").alias("max_tok")))
+
+
 def _dedup_exact_stats(spark, sf):
     """Exact dedup statistics per source (hash-groupBy, one shuffle)."""
     from plc.dedup import exact_dedup_stats
@@ -926,6 +955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_tumbling_count": _events_tumbling_count,
         "topk_orders": _topk_orders,
         "format_read_agg": _format_read_agg,
+        "format_multirange_agg": _format_multirange_agg,
         "dedup_exact_stats": _dedup_exact_stats,
         "dedup_minhash_pairs": _dedup_minhash_pairs,
         "simhash_near_dup": _simhash_near_dup,
@@ -1054,6 +1084,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, count(*) AS n_docs,
                    CAST(sum(n_tok) AS BIGINT) AS total_tokens
             FROM toks WHERE n_tok > 10 GROUP BY source
+        """,
+        "format_multirange_agg": f"""
+            WITH toks AS (SELECT source,
+                                 len({_TOKENS_SQL}) AS n_tok
+                          FROM documents)
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+                   CAST(min(n_tok) AS INT) AS min_tok,
+                   CAST(max(n_tok) AS INT) AS max_tok
+            FROM toks WHERE n_tok <= 40 OR n_tok >= 120
+            GROUP BY source
         """,
         "dedup_exact_stats": """
             SELECT source, count(*) AS n_rows,

@@ -319,3 +319,24 @@ def test_decode_video_y4m_through_extract_features(spark):
            extract_features(df, kernel=decode_video_y4m).collect()}
     for i in range(3):
         assert out[i][0] == i + 1  # per-clip frame count
+
+
+def test_decode_media_av_is_gated():
+    """The compressed-codec kernel (PyAV/ffmpeg) is import-gated like
+    PIL: absent the library it raises NotImplementedError with the
+    in-sandbox alternatives named; present, it decodes (gated test)."""
+    import pytest as _pytest
+
+    from plc.multimodal import decode_media_av
+
+    try:
+        import av  # noqa: F401
+        has_av = True
+    except ImportError:
+        has_av = False
+    if not has_av:
+        with _pytest.raises(NotImplementedError, match="PyAV"):
+            decode_media_av(pa.array([b"\x00\x01"], pa.binary()))
+        return
+    feats = decode_media_av(pa.array([b"not-a-real-container"], pa.binary()))
+    assert feats.shape == (1, 8) and feats.sum() == 0
