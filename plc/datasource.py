@@ -1001,17 +1001,27 @@ class PLCStreamWriter(DataSourceStreamArrowWriter):
             # files IS exactly-once; sweep only this attempt's fresh
             # orphans. (b) a NEW stream (fresh checkpoint) pointed at a
             # dst holding an older stream's batches — overwriting would
-            # silently destroy committed data, so refuse loudly when the
-            # totals don't match a genuine replay.
-            old = _load_plan(self.pfs, rel)
-            new_rows = sum(m.n_rows for m in msgs)
-            if old.get("total_rows") != new_rows:
+            # silently destroy committed data, so refuse loudly unless
+            # the content FINGERPRINT matches a genuine replay: per-part
+            # (rows, tokens, chunk count, doc_id min/max) — total_rows
+            # alone is not enough, rate-limited sources produce
+            # constant-size batches routinely (review finding r5).
+            mpath = self.pfs.join(rel, "_manifest", "parts",
+                                  "manifest-0.parquet")
+            old_tbl = pq.read_table(mpath, filesystem=self.pfs.fs)
+            old_fp = sorted(zip(*(old_tbl.column(c).to_pylist() for c in
+                                  ("part_id", "n_chunks", "n_rows",
+                                   "n_tokens", "min_doc_id",
+                                   "max_doc_id"))))
+            new_fp = sorted((m.part_id, m.n_chunks, m.n_rows, m.n_tokens,
+                             m.min_doc_id, m.max_doc_id) for m in msgs)
+            if old_fp != new_fp:
                 raise RuntimeError(
                     f"plc stream sink: {self.path}/{rel} is already "
-                    f"committed with {old.get('total_rows')} rows but "
-                    f"this microbatch produced {new_rows} — {rel} "
-                    f"belongs to a different stream (dst reuse with a "
-                    f"fresh checkpoint?). Committed batches are "
+                    f"committed with different content (per-part "
+                    f"rows/tokens/doc_id-range fingerprint mismatch) — "
+                    f"{rel} belongs to a different stream (dst reuse "
+                    f"with a fresh checkpoint?). Committed batches are "
                     f"immutable; use a fresh dst or remove the old "
                     f"batch dirs explicitly.")
             for m in msgs:  # drop the replay attempt's duplicate files
@@ -1033,7 +1043,17 @@ class PLCStreamWriter(DataSourceStreamArrowWriter):
         if self.pfs.exists(posixpath.join(rel, "_manifest",
                                           "_STREAM_COMMITTED")):
             # replay attempt of an already-committed (reader-visible)
-            # batch failed: the committed data must survive untouched
+            # batch failed: the committed data must survive untouched —
+            # but the failed attempt's own files are invisible orphans
+            # that would otherwise leak on every failed replay; drop the
+            # ones its successful tasks named
+            for m in messages:
+                if m is not None and m.file:
+                    try:
+                        self.pfs.fs.delete_file(self.pfs.join(
+                            rel, "data", f"part_id={m.part_id}", m.file))
+                    except OSError:
+                        pass
             return
         # no marker: the batch dir is invisible; drop it for a clean
         # replay

@@ -252,12 +252,14 @@ def decode_media_av(payloads: pa.Array, n_features: int = 8,
 
     Features (first 8; extras zero-padded): for a clip with a video
     stream — n_frames_sampled, fps, width, height, mean luma, luma std,
-    motion, duration_sec (the Y4M layout); audio-only — 0, sample_rate,
-    channels, 0, RMS, peak, zero-crossing rate, duration_sec (the WAV
-    layout with n_frames=0 marking audio). Decoding stops after
-    ``max_frames`` video frames (evenly consumed from the head — feature
-    extraction, not transcoding). Undecodable payloads yield a zero
-    row."""
+    motion, duration_sec (EXACTLY :func:`decode_video_y4m`'s layout);
+    audio-only — duration_sec, sample_rate_kHz, channels,
+    sample_width_bytes, RMS, peak, zero-crossing rate, mean |amplitude|
+    with samples normalized by the FORMAT full-scale (EXACTLY
+    :func:`decode_audio_wav`'s layout, so a corpus mixing .wav and .mp3
+    rows lands in one comparable feature table). Decoding stops after
+    ``max_frames`` video frames / ~30 s of audio (feature extraction,
+    not transcoding). Undecodable payloads yield a zero row."""
     try:
         import av
     except ImportError as e:
@@ -312,23 +314,45 @@ def decode_media_av(payloads: pa.Array, n_features: int = 8,
                     ch = int(getattr(ast, "channels", 0) or 0)
                     samples = []
                     total = 0
+                    width = 2
+                    # degenerate metadata (rate/channels 0) must not
+                    # collapse the budget to one frame — fall back to a
+                    # fixed sample cap
+                    cap = (rate * max(ch, 1) * 30) or 10_000_000
                     for frame in container.decode(ast):
                         arr = frame.to_ndarray()
-                        samples.append(arr.astype(np.float64).ravel())
-                        total += arr.size
-                        if total >= rate * ch * 30:  # cap ~30 s of audio
+                        # FORMAT full-scale normalization, matching
+                        # decode_audio_wav — NOT per-clip peak, which
+                        # would erase loudness information
+                        if arr.dtype == np.int16:
+                            a = arr.astype(np.float64) / 32768.0
+                        elif arr.dtype == np.int32:
+                            a = arr.astype(np.float64) / 2 ** 31
+                            width = 4
+                        elif arr.dtype == np.uint8:
+                            a = (arr.astype(np.float64) - 128.0) / 128.0
+                            width = 1
+                        else:  # float planes are already [-1, 1]
+                            a = arr.astype(np.float64)
+                            width = arr.dtype.itemsize
+                        # planar layouts are (channels, n): average to
+                        # mono like the WAV kernel
+                        a = a.mean(axis=0) if a.ndim == 2 else a
+                        samples.append(a)
+                        total += a.size
+                        if total >= cap:
                             break
                     if not samples:
                         continue
-                    x = np.concatenate(samples)
-                    peak = float(np.max(np.abs(x))) or 1.0
-                    xn = x / peak if peak > 1.0 else x  # int formats → [-1,1]
-                    rms = float(np.sqrt(np.mean(np.square(xn))))
-                    zcr = float(np.mean(np.signbit(xn[1:])
-                                        != np.signbit(xn[:-1])))
-                    dur = (x.size / max(ch, 1)) / rate if rate else 0.0
-                    feats = [0.0, float(rate), float(ch), 0.0,
-                             rms, float(np.max(np.abs(xn))), zcr, dur]
+                    mono = np.concatenate(samples)
+                    dur = mono.size / rate if rate else 0.0
+                    feats = [dur, rate / 1000.0, float(ch), float(width),
+                             float(np.sqrt(np.mean(np.square(mono)))),
+                             float(np.max(np.abs(mono))),
+                             float(np.mean(np.signbit(mono[1:])
+                                           != np.signbit(mono[:-1])))
+                             if mono.size > 1 else 0.0,
+                             float(np.mean(np.abs(mono)))]
                 else:
                     continue
         except Exception:

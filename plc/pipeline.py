@@ -794,6 +794,12 @@ def select_chunks(spark: SparkSession, dst: str, *,
     unknown_f = [c for c in filters if c not in known]
     if unknown_f:
         raise ValueError(f"unknown filter columns {unknown_f}")
+    if doc_ids is not None:
+        # normalize ONCE at the API boundary: stored doc_ids are strings,
+        # and the bloom hasher (.encode) would crash on raw ints deep in
+        # the probe path (review finding r5: a downstream str() was
+        # unreachable for exactly the inputs it targeted)
+        doc_ids = [str(k) for k in doc_ids]
     enc = _committed_enc(spark, dst)
     if doc_id_min is not None:
         enc = enc.filter(F.col("max_doc_id") >= doc_id_min)
@@ -961,6 +967,8 @@ def decode(spark: SparkSession, dst: str, *, doc_id_min: str | None = None,
 
     ensure_shipped(spark)
     filters = dict(filters or {})
+    if doc_ids is not None:
+        doc_ids = [str(k) for k in doc_ids]  # see select_chunks
     enc, plan = select_chunks(spark, dst, doc_id_min=doc_id_min,
                               doc_id_max=doc_id_max, filters=filters,
                               doc_ids=doc_ids)
@@ -1005,9 +1013,7 @@ def decode(spark: SparkSession, dst: str, *, doc_id_min: str | None = None,
             # instead (the chunk-pruning side in select_chunks is already
             # a broadcast semi-join at any key count)
             cols = out.columns
-            # str() like the isin branch's implicit cast — int keys must
-            # behave identically on both sides of the size threshold
-            kdf = spark.createDataFrame([(str(k),) for k in uniq],
+            kdf = spark.createDataFrame([(k,) for k in uniq],
                                         "doc_id string")
             out = out.join(F.broadcast(kdf), "doc_id", "left_semi") \
                      .select(*cols)

@@ -299,9 +299,15 @@ def test_format_stream_sink_committed_batch_is_immutable(spark):
     w.commit([msg], 0)
     marker = dst + "/batch=0/_manifest/_STREAM_COMMITTED"
     assert os.path.exists(marker)
-    # failed replay attempt aborts AFTER the original commit: no-op
-    w.abort([msg], 0)
+    # a FAILED replay attempt aborts after the original commit: the
+    # committed data survives, the replay's own files (always fresh
+    # uuid names — never the committed winner) are swept
+    with open(pdir + "/f1b.parquet", "wb") as f:
+        f.write(b"r")
+    w.abort([PLCCommit(0, "f1b.parquet", 1, 10, 40, 160, 80, "a", "b"),
+             None], 0)
     assert os.path.exists(marker) and os.path.exists(pdir + "/f1.parquet")
+    assert not os.path.exists(pdir + "/f1b.parquet")
     # genuine replay (same totals): idempotent, replay's file dropped
     with open(pdir + "/f2.parquet", "wb") as f:
         f.write(b"y")
