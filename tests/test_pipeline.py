@@ -548,6 +548,31 @@ def test_batch_lookup_and_multirange_filters(spark):
     assert got_n == want_n and want_n > 0
 
 
+def test_batch_lookup_accepts_int_keys(spark):
+    """Review finding r5: doc_ids normalize to strings ONCE at the API
+    boundary — raw int keys used to crash in the bloom hasher
+    (.encode on int) before any row filter ran."""
+    import tempfile
+
+    from plc import data as D
+    from plc.pipeline import PipelineConfig, decode, encode
+    from pyspark.sql import functions as F
+
+    work = tempfile.mkdtemp(prefix="plc_intkeys_")
+    df = spark.range(100).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.sequence(F.lit(1), F.lit(3)).cast("array<int>").alias("tokens"),
+        F.lit(3).cast("int").alias("n_tok"),
+        F.lit("s").alias("source"))
+    dst = work + "/store"
+    encode(spark, df, dst,
+           PipelineConfig(num_partitions=2, straggler_parts=0),
+           mode="overwrite")
+    got = sorted(r["doc_id"] for r in
+                 decode(spark, dst, doc_ids=[3, 7, 99]).collect())
+    assert got == ["3", "7", "99"]
+
+
 def test_batch_lookup_huge_key_set_routes_through_semi_join(spark):
     """Above _DOC_IDS_ISIN_MAX keys the decode row filter must switch
     from a literal IN-list (which would bloat the plan tree) to a
