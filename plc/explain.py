@@ -86,13 +86,12 @@ def main(out_path: str = "BENCH/PLANS.md") -> None:
         "e.g. IVF probing scattered cells)",
         fmt(select_chunks(spark, dst,
                           filters={"n_tok": [(0, 10), (200, None)]})[0])))
-    from plc.pipeline import _DOC_IDS_ISIN_MAX
-
-    big_keys = [f"doc-{i:012d}" for i in range(_DOC_IDS_ISIN_MAX + 10)]
+    big_keys = [f"doc-{i:012d}" for i in range(2000)]
     sections.append((
-        "Huge-key batch lookup row filter (>100k keys): the decoded-side "
-        "IN-list switches to a broadcast LEFT SEMI join — the plan tree "
-        "stays O(1) in the key count (r5)",
+        "Large-key batch lookup row filter (> _DOC_IDS_ISIN_MAX keys): "
+        "the decoded-side IN-list switches to a broadcast LEFT SEMI join "
+        "— plan size and py4j plan-build time stay O(1) in the key "
+        "count (r5)",
         fmt(decode(spark, dst, doc_ids=big_keys,
                    columns=["doc_id", "n_tok"]))))
     # encode_direct: no Exchange anywhere — descriptors parallelized with
