@@ -709,3 +709,38 @@ def test_isnotnull_isnull_pushdown_prunes_all_null_chunks(spark):
     df = spark.read.format("plc").load(dst)
     assert df.filter(F.col("source").isNotNull()).count() == 1000
     assert df.filter(F.col("source").isNull()).count() == 1000
+
+
+def test_filters_option_matches_decode_differentially(spark, store):
+    """Differential hardening for the OR-of-ranges option: for random
+    multi-range specs, the format read with .option('filters') must
+    return exactly the rows decode(filters=) returns (same pruning
+    semantics, same exact row mask), including open bounds and ranges
+    that select nothing."""
+    import json as _json
+    import random
+
+    from plc.pipeline import decode
+
+    src, dst = store
+    mn, mx = src.agg(F.min("n_tok"), F.max("n_tok")).collect()[0]
+    rng = random.Random(20260817)
+    for trial in range(6):
+        n_ranges = rng.randint(1, 3)
+        ranges = []
+        for _ in range(n_ranges):
+            lo = rng.choice([None, rng.randint(mn - 5, mx + 5)])
+            hi = rng.choice([None, rng.randint(mn - 5, mx + 5)])
+            if lo is not None and hi is not None and lo > hi:
+                lo, hi = hi, lo
+            ranges.append([lo, hi])
+        spec = {"n_tok": ranges}
+        fmt = (spark.read.format("plc")
+               .option("filters", _json.dumps(spec)).load(dst)
+               .selectExpr("doc_id", "n_tok"))
+        dec = decode(spark, dst,
+                     filters={"n_tok": [tuple(r) for r in ranges]},
+                     columns=["doc_id", "n_tok"])
+        got = sorted((r["doc_id"], r["n_tok"]) for r in fmt.collect())
+        want = sorted((r["doc_id"], r["n_tok"]) for r in dec.collect())
+        assert got == want, (trial, spec, len(got), len(want))
