@@ -63,6 +63,10 @@ def main(argv=None) -> int:
                        help="comma-separated column subset")
     p_dec.add_argument("--doc-id-min", default=None)
     p_dec.add_argument("--doc-id-max", default=None)
+    p_dec.add_argument("--filters", default=None,
+                       help='JSON range filters, e.g. '
+                            '\'{"n_tok": [[0,10],[200,null]]}\' '
+                            '(multi-range = OR of ranges, null = open)')
 
     p_ver = sub.add_parser("verify", help="E2: round-trip verification")
     common(p_ver)
@@ -140,8 +144,10 @@ def main(argv=None) -> int:
             print(json.dumps(rep))
         elif args.cmd == "decode":
             cols = args.columns.split(",") if args.columns else None
+            flt = json.loads(args.filters) if args.filters else None
             out = decode(spark, args.dst, doc_id_min=args.doc_id_min,
-                         doc_id_max=args.doc_id_max, columns=cols)
+                         doc_id_max=args.doc_id_max, columns=cols,
+                         filters=flt)
             out.write.mode("overwrite").parquet(args.out)
             print(json.dumps({"written": args.out}))
         elif args.cmd == "verify":

@@ -548,6 +548,38 @@ def test_batch_lookup_and_multirange_filters(spark):
     assert got_n == want_n and want_n > 0
 
 
+def test_cli_decode_with_filters(spark, monkeypatch, capsys):
+    """`plc decode --filters '{"n_tok": [[lo,hi],[lo,null]]}'` routes the
+    JSON multi-range spec through decode(filters=) (CLI wiring)."""
+    import glob as _g
+    import json as _json
+    import tempfile
+
+    from plc import cli
+    from plc import data as D
+    from plc.pipeline import PipelineConfig, encode
+
+    work = tempfile.mkdtemp(prefix="plc_cli_flt_")
+    src = work + "/tokens.parquet"
+    D.synth_tokens_parquet(src, 300, regime="zipf", seed=9)
+    df = spark.read.parquet(src)
+    dst = work + "/store"
+    encode(spark, df, dst, PipelineConfig(num_partitions=2,
+                                          straggler_parts=0),
+           mode="overwrite")
+    monkeypatch.setattr(cli, "_spark", lambda args: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    out = work + "/out.parquet"
+    spec = '{"n_tok": [[null, 100], [900, null]]}'
+    rc = cli.main(["decode", "--dst", dst, "--out", out,
+                   "--columns", "doc_id,n_tok", "--filters", spec])
+    assert rc == 0
+    got = spark.read.parquet(out)
+    want = df.filter((df.n_tok <= 100) | (df.n_tok >= 900)).count()
+    assert got.count() == want
+    assert got.filter((got.n_tok > 100) & (got.n_tok < 900)).count() == 0
+
+
 def test_batch_lookup_accepts_int_keys(spark):
     """Review finding r5: doc_ids normalize to strings ONCE at the API
     boundary — raw int keys used to crash in the bloom hasher
