@@ -1043,8 +1043,10 @@ def decode(spark: SparkSession, dst: str, *, doc_id_min: str | None = None,
             # beyond the threshold a literal list costs py4j marshalling
             # per key at plan time (and would eventually bloat the plan
             # tree) — route the row filter through a broadcast semi-join
-            # instead (the chunk-pruning side in select_chunks is already
-            # a broadcast semi-join at any key count)
+            # instead. The chunk-pruning side in select_chunks ships its
+            # own (key, h1, h2) table, so the keys cross to the JVM
+            # twice — both via Arrow createDataFrame (~ms per 10k keys),
+            # negligible next to the py4j literal cost this avoids.
             cols = out.columns
             kdf = spark.createDataFrame([(k,) for k in uniq],
                                         "doc_id string")

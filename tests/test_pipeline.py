@@ -548,11 +548,9 @@ def test_batch_lookup_and_multirange_filters(spark):
     assert got_n == want_n and want_n > 0
 
 
-def test_cli_decode_with_filters(spark, monkeypatch, capsys):
+def test_cli_decode_with_filters(spark, monkeypatch):
     """`plc decode --filters '{"n_tok": [[lo,hi],[lo,null]]}'` routes the
     JSON multi-range spec through decode(filters=) (CLI wiring)."""
-    import glob as _g
-    import json as _json
     import tempfile
 
     from plc import cli
@@ -586,7 +584,6 @@ def test_batch_lookup_accepts_int_keys(spark):
     (.encode on int) before any row filter ran."""
     import tempfile
 
-    from plc import data as D
     from plc.pipeline import PipelineConfig, decode, encode
     from pyspark.sql import functions as F
 
@@ -623,8 +620,9 @@ def test_batch_lookup_huge_key_set_routes_through_semi_join(spark):
              P.PipelineConfig(num_partitions=2, straggler_parts=0),
              mode="overwrite")
     present = [r[0] for r in df.select("doc_id").limit(50).collect()]
-    # 10^5 + padding keys — crosses the guard
-    keys = present + [f"doc-absent-{i:07d}" for i in range(100_100)]
+    # enough absent keys to cross the (64-key, r5) guard with margin —
+    # the switch itself is what's under test, not a size record
+    keys = present + [f"doc-absent-{i:07d}" for i in range(1_500)]
     assert len(set(keys)) > P._DOC_IDS_ISIN_MAX
     out = P.decode(spark, dst, doc_ids=keys, columns=["doc_id", "n_tok"])
     # the row filter is a (broadcastable) semi-join, not a 100k-literal
