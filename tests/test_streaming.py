@@ -321,3 +321,33 @@ def test_format_stream_sink_committed_batch_is_immutable(spark):
     os.makedirs(dst + "/batch=1/data/part_id=0")
     w.abort([msg], 1)
     assert not os.path.exists(dst + "/batch=1")
+
+
+def test_format_stream_sink_on_file_uri(spark):
+    """The stream sink resolves its target through _PlanFS like the batch
+    writer — a file:// URI works end-to-end (the same path s3:///hdfs://
+    take on clusters)."""
+    import glob as g
+
+    from plc.datasource import register
+
+    register(spark)
+    src = tempfile.mkdtemp(prefix="plc_fsuri_src_")
+    base = tempfile.mkdtemp(prefix="plc_fsuri_dst_")
+    ckpt = tempfile.mkdtemp(prefix="plc_fsuri_ck_")
+    try:
+        _mkfiles(src, n_files=2, rows=150)
+        dst = "file://" + base + "/store"
+        q = (spark.readStream.schema(SCHEMA).parquet(src)
+             .writeStream.format("plc")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start(dst))
+        q.awaitTermination(300)
+        local = base + "/store"
+        assert g.glob(local + "/batch=*/_manifest/_STREAM_COMMITTED")
+        assert spark.read.format("plc").load(dst).count() == 300
+        assert decode_stream(spark, local).count() == 300
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(base, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
