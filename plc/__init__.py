@@ -21,11 +21,12 @@ def __getattr__(name):  # lazy: keep kernel imports pyspark-free
         from plc.chunk import EncodeConfig
 
         return EncodeConfig
-    if name in ("encode_stream", "decode_stream"):
+    if name in ("encode_stream", "decode_stream", "compact_stream",
+                "expire_stream_batches", "committed_batches"):
         from plc import streaming
 
         return getattr(streaming, name)
-    if name in ("register", "store_agg"):  # spark.read.format("plc")
+    if name in ("register", "store_agg", "gc"):  # plc format + store ops
         from plc import datasource
 
         return getattr(datasource, name)

@@ -34,6 +34,14 @@ def nonempty_dir(spark, path: str, suffix: str | None = None) -> bool:
     return False
 
 
+def listdir(spark, path: str) -> list[str]:
+    """Child entry NAMES of a directory ([] when it doesn't exist)."""
+    fs, p = _fs_path(spark, path)
+    if not fs.exists(p):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(p)]
+
+
 def mkdirs(spark, path: str) -> None:
     fs, p = _fs_path(spark, path)
     fs.mkdirs(p)

@@ -344,6 +344,19 @@ def _prepare_state(spark: SparkSession, df: DataFrame, dst: str,
 
     if resume and fsio.exists(spark, _plan_path(dst)):
         plan = _load_plan(spark, dst)
+        if plan.get("writer") == "format":
+            # a format-written store commits every part in one job, so
+            # resume's pending-predicate reduces to lit(False): it would
+            # "succeed" while encoding zero new rows. Fail loudly
+            # instead (ADVICE r5).
+            raise ValueError(
+                f"{dst} was written by df.write.format('plc') — every "
+                f"part is already committed, so resume=True has nothing "
+                f"to resume and would silently encode no rows. For "
+                f"incremental ingestion use the stream sink "
+                f"(df.writeStream.format('plc')) or encode to a fresh "
+                f"dst; to replace the store, re-write with "
+                f"mode('overwrite')")
     else:
         plan = build_plan(spark, df, cfg)
         fsio.write_text(spark, _plan_path(dst), json.dumps(plan))
@@ -415,12 +428,21 @@ def _write_and_commit(spark: SparkSession, enc: DataFrame, dst: str,
     # pre-clean: part dirs written by a crashed earlier attempt but never
     # committed must be deleted before the write — dynamic partition
     # overwrite only rewrites parts that receive new data, so the manifest
-    # rollup (which reads the data dir) would otherwise adopt stale dirs
+    # rollup (which reads the data dir) would otherwise adopt stale dirs.
+    # Enumerate the ACTUAL part_id=* dirs, not range(total_parts): a
+    # crashed format write leaves orphan dirs whose task-partition ids can
+    # exceed this plan's part count, and those would otherwise be silently
+    # adopted as committed data by the rollup (ADVICE r5)
     if fsio.nonempty_dir(spark, _data_path(dst)):
-        for i in range(total_parts):
-            if i not in committed:
-                fsio.delete(spark,
-                            os.path.join(_data_path(dst), f"part_id={i}"))
+        for name in fsio.listdir(spark, _data_path(dst)):
+            if not name.startswith("part_id="):
+                continue
+            try:
+                pid = int(name.split("=", 1)[1])
+            except ValueError:
+                pid = -1  # foreign dir name: treat as uncommitted, drop it
+            if pid not in committed:
+                fsio.delete(spark, os.path.join(_data_path(dst), name))
 
     t0 = time.perf_counter()
     # 64 MB row groups (~4 full chunks): the format reader slices files
@@ -712,17 +734,29 @@ def _committed_enc(spark: SparkSession, dst: str) -> DataFrame:
     man = spark.read.parquet(_manifest_path(dst))
     enc = _read_enc(spark, dst)
     if "file" in man.columns:
-        rows = man.select("part_id", "file").collect()
-        named = [r["file"] for r in rows if r["file"] is not None]
-        if named:
-            open_parts = [r["part_id"] for r in rows if r["file"] is None]
-            # input_file_name() only resolves on a single-source plan —
-            # filter BEFORE the committed-part join
-            cond = F.element_at(F.split(F.input_file_name(), "/"),
-                                -1).isin(named)
-            if open_parts:
-                cond = cond | F.col("part_id").isin(open_parts)
-            enc = enc.filter(cond)
+        # ONE broadcast left-semi join carries both the committed-part
+        # check and the file-name check: a (part_id, file) row names the
+        # winning file, file=NULL means "any file in this part dir"
+        # (pipeline-sink commits, where Spark's commit protocol already
+        # excludes orphans). The previous shape collected the manifest
+        # and built a literal isin() — O(parts) py4j-marshalled literals
+        # at plan time, the same ~0.5 ms/key pathology the doc_ids path
+        # fixed (ADVICE r5); the join ships the same rows JVM-side with
+        # zero driver wall. input_file_name() only resolves on a
+        # single-source plan, so the name column is computed on the scan
+        # side before the join.
+        keys = (man.select(F.col("part_id").alias("_mpid"),
+                           F.col("file").alias("_mfname")))
+        enc = (enc.withColumn("_fname",
+                              F.element_at(F.split(F.input_file_name(),
+                                                   "/"), -1))
+               .join(F.broadcast(keys),
+                     (F.col("part_id") == F.col("_mpid")) &
+                     (F.col("_mfname").isNull() |
+                      (F.col("_mfname") == F.col("_fname"))),
+                     "left_semi")
+               .drop("_fname"))
+        return enc
     return enc.join(F.broadcast(man.select("part_id")), "part_id",
                     "left_semi")
 

@@ -62,23 +62,36 @@ def encode_stream(stream_df: DataFrame, dst: str, checkpoint: str,
     return writer.start()
 
 
-def decode_stream(spark: SparkSession, dst: str) -> DataFrame:
-    """Read everything committed by :func:`encode_stream`: union of the
-    per-batch decodes (each batch dir is a complete encode)."""
+def committed_batches(spark: SparkSession, dst: str) -> list[tuple[int, str]]:
+    """(batch_id, path) of every COMMITTED ``batch=<id>`` sub-store under
+    a stream root, sorted by id. Gates on the atomic batch marker, not
+    "some manifest file exists": a crash mid-manifest-commit leaves a
+    PARTIAL manifest that a later replay resumes — consuming it early
+    would silently skip the resumed parts. Works on both stream-sink
+    layouts (foreachBatch :func:`encode_stream` and
+    ``df.writeStream.format("plc")`` — same directory contract)."""
     from plc import fsio
 
     fs, root = fsio._fs_path(spark, dst)
-    batches = sorted(
-        st.getPath().toString() for st in fs.listStatus(root)
-        if st.getPath().getName().startswith("batch="))
+    if not fs.exists(root):
+        return []
+    out = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not name.startswith("batch="):
+            continue
+        b = st.getPath().toString()
+        if fsio.exists(spark, f"{b}/_manifest/_STREAM_COMMITTED"):
+            out.append((int(name.split("=", 1)[1]), b))
+    return sorted(out)
+
+
+def decode_stream(spark: SparkSession, dst: str) -> DataFrame:
+    """Read everything committed by :func:`encode_stream` or the format
+    stream sink: union of the per-batch decodes (each batch dir is a
+    complete encode)."""
     out = None
-    for b in batches:
-        # gate on the atomic batch marker, not "some manifest file
-        # exists": a crash mid-manifest-commit leaves a PARTIAL manifest
-        # that a later replay resumes — consuming it early would silently
-        # skip the resumed parts
-        if not fsio.exists(spark, f"{b}/_manifest/_STREAM_COMMITTED"):
-            continue  # uncommitted/in-flight batch: not visible to readers
+    for _bid, b in committed_batches(spark, dst):
         d = decode(spark, b)
         out = d if out is None else out.unionByName(d)
     if out is None:
@@ -214,8 +227,52 @@ def compact_stream(spark: SparkSession, dst: str, out_dst: str,
                    mode: str = "error") -> dict:
     """Compact the per-microbatch encodes under ``dst`` into ONE encode at
     ``out_dst`` (decode → re-encode; resumable like any encode). Run it
-    periodically so reader-side batch-dir counts stay bounded."""
-    df = decode_stream(spark, dst)
-    return encode(spark, df, out_dst,
-                  cfg or PipelineConfig(num_partitions=8,
-                                        straggler_parts=0), mode=mode)
+    periodically so reader-side batch-dir counts stay bounded.
+
+    The returned report carries ``batch_ids`` — the EXACT set of batches
+    the compaction consumed, pinned BEFORE the encode starts. Pass it to
+    :func:`expire_stream_batches` to reclaim those dirs: a batch
+    committed while the compaction ran is in neither the output nor the
+    expiry set, so the compact→expire cycle is race-free against a live
+    stream. Consumes both sink layouts (foreachBatch and
+    ``df.writeStream.format("plc")``)."""
+    batches = committed_batches(spark, dst)
+    if not batches:
+        raise FileNotFoundError(f"no committed stream batches under {dst}")
+    out = None
+    for _bid, b in batches:
+        d = decode(spark, b)
+        out = d if out is None else out.unionByName(d)
+    report = encode(spark, out, out_dst,
+                    cfg or PipelineConfig(num_partitions=8,
+                                          straggler_parts=0), mode=mode)
+    report["batch_ids"] = [bid for bid, _ in batches]
+    return report
+
+
+def expire_stream_batches(spark: SparkSession, dst: str,
+                          batch_ids: "list[int]") -> list[int]:
+    """Retention: drop the given COMMITTED ``batch=<id>`` sub-stores
+    (normally ``compact_stream(...)["batch_ids"]`` after the compacted
+    store is in place). Delete order makes the removal atomic for
+    readers: the ``_STREAM_COMMITTED`` marker goes FIRST — every reader
+    gates on it, so the batch flips to invisible in one delete — then
+    the rest of the dir is reclaimed; a crash mid-way leaves an
+    invisible remnant that a re-run finishes. Batches without a marker
+    (in-flight / already expired) are skipped. A running
+    ``readStream.format("plc")`` whose offset has passed these ids never
+    re-lists them; expiring ids at or beyond a live stream's offset
+    would lose data — expire only what was compacted. Returns the ids
+    actually removed."""
+    from plc import fsio
+
+    removed = []
+    for bid in batch_ids:
+        b = f"{dst}/batch={int(bid)}"
+        marker = f"{b}/_manifest/_STREAM_COMMITTED"
+        if not fsio.exists(spark, marker):
+            continue
+        fsio.delete(spark, marker)  # the atomic visibility flip
+        fsio.delete(spark, b)
+        removed.append(int(bid))
+    return removed

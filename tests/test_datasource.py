@@ -846,5 +846,183 @@ def test_chunks_view_count_star_reads_no_columns(store, monkeypatch):
     monkeypatch.setattr(_PlanFS, "read_parquet", spy)
     n = sum(rb.num_rows for p in parts for rb in reader.read(p))
     assert not calls
-    enc = pq.read_table(glob.glob(os.path.join(dst, "data", "*", "*.parquet"))[0])
-    assert n > 0  # chunk count; exact value checked via SQL below
+    want = sum(pq.ParquetFile(f).metadata.num_rows for f in
+               glob.glob(os.path.join(dst, "data", "*", "*.parquet")))
+    assert n == want  # chunk count matches the footers exactly
+
+
+# -- overwrite crash-safety (deferred delete, r6) --------------------------
+
+
+def test_format_overwrite_failure_preserves_old_store(spark, store):
+    """Overwriting an existing store must destroy nothing at planning
+    time: a write job that fails mid-task aborts by deleting only its
+    own files, and the old store (manifest + named files) stays fully
+    readable (VERDICT r5 'what's wrong' #2)."""
+    from plc.pipeline import verify
+
+    src, _ = store
+    work = tempfile.mkdtemp(prefix="plc_ds_owr_")
+    dst = os.path.join(work, "store")
+    try:
+        (src.repartitionByRange(3, "doc_id")
+            .write.format("plc").mode("overwrite").save(dst))
+        before = spark.read.format("plc").load(dst).count()
+        poisoned = src.withColumn(
+            "n_tok",
+            F.when(F.col("n_tok") >= 0,
+                   F.expr("raise_error('boom')").cast("int"))
+            .otherwise(F.col("n_tok")))
+        with pytest.raises(Exception, match="boom"):
+            (poisoned.repartition(2)
+             .write.format("plc").mode("overwrite").save(dst))
+        # old store intact: same rows, verify green, no leaked job files
+        assert spark.read.format("plc").load(dst).count() == before
+        assert verify(spark, src, dst)["mismatches"] == 0
+        files = glob.glob(os.path.join(dst, "data", "*", "*.parquet"))
+        named = set()
+        for m in glob.glob(os.path.join(dst, "_manifest", "parts",
+                                        "*.parquet")):
+            named |= set(pq.read_table(m).column("file").to_pylist())
+        assert {os.path.basename(f) for f in files} == named
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_format_overwrite_sweeps_stale_generation(spark, store):
+    """A successful in-place overwrite commits the new manifest first,
+    then reclaims every file of the replaced generation — including
+    whole part dirs whose pid the new store doesn't use."""
+    src, _ = store
+    work = tempfile.mkdtemp(prefix="plc_ds_ows_")
+    dst = os.path.join(work, "store")
+    try:
+        (src.repartitionByRange(4, "doc_id")
+            .write.format("plc").mode("overwrite").save(dst))
+        old_files = set(glob.glob(os.path.join(dst, "data", "*",
+                                               "*.parquet")))
+        (src.limit(50).repartition(2)
+            .write.format("plc").mode("overwrite").save(dst))
+        assert spark.read.format("plc").load(dst).count() == 50
+        new_files = set(glob.glob(os.path.join(dst, "data", "*",
+                                               "*.parquet")))
+        assert not (old_files & new_files)
+        # stale pids (2, 3) from the 4-part generation are gone entirely
+        dirs = {os.path.basename(d)
+                for d in glob.glob(os.path.join(dst, "data", "part_id=*"))}
+        assert dirs == {"part_id=0", "part_id=1"}
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_encode_resume_on_format_store_raises(spark, store):
+    """encode(resume=True) on a format-written store used to be a silent
+    no-op (every part committed, pending predicate = false); it now
+    fails loudly (ADVICE r5)."""
+    from plc.pipeline import PipelineConfig, encode
+
+    src, _ = store
+    work = tempfile.mkdtemp(prefix="plc_ds_rsf_")
+    dst = os.path.join(work, "store")
+    try:
+        (src.repartition(2).write.format("plc").mode("overwrite")
+            .save(dst))
+        with pytest.raises(ValueError, match="format"):
+            encode(spark, src, dst, PipelineConfig(num_partitions=2),
+                   resume=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# -- orphan GC (r6) --------------------------------------------------------
+
+
+def test_gc_reclaims_post_sweep_zombies(spark, store):
+    """VERDICT r5 missing #4: a zombie attempt finishing AFTER commit's
+    best-effort sweep leaves an invisible-but-permanent file; plc.gc
+    reclaims it once it ages past the grace period, never touches young
+    files or manifest-named data, and the store stays verify-green."""
+    import time as _time
+
+    import plc
+    from plc.pipeline import verify
+
+    src, _ = store
+    work = tempfile.mkdtemp(prefix="plc_ds_gc_")
+    dst = os.path.join(work, "store")
+    try:
+        (src.repartitionByRange(3, "doc_id")
+            .write.format("plc").mode("overwrite").save(dst))
+        pdir = sorted(glob.glob(os.path.join(dst, "data", "part_id=*")))[0]
+        real = glob.glob(os.path.join(pdir, "*.parquet"))[0]
+        old_zombie = os.path.join(pdir, "part-zombie-old.parquet")
+        young_zombie = os.path.join(pdir, "part-zombie-young.parquet")
+        shutil.copy(real, old_zombie)
+        shutil.copy(real, young_zombie)
+        past = _time.time() - 7200
+        os.utime(old_zombie, (past, past))
+
+        rep = plc.gc(dst, grace_sec=3600)
+        assert [os.path.basename(p) for p in rep["removed"]] == \
+            ["part-zombie-old.parquet"]
+        assert rep["kept_young"] == 1
+        assert not os.path.exists(old_zombie)
+        assert os.path.exists(young_zombie)  # inside grace: protected
+        assert os.path.exists(real)          # manifest-named: never GC'd
+        assert verify(spark, src, dst)["mismatches"] == 0
+        # second pass after the young zombie ages
+        os.utime(young_zombie, (past, past))
+        rep2 = plc.gc(dst, grace_sec=3600)
+        assert [os.path.basename(p) for p in rep2["removed"]] == \
+            ["part-zombie-young.parquet"]
+        assert verify(spark, src, dst)["mismatches"] == 0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_gc_stream_root_drops_aged_uncommitted_batch(spark):
+    """On a stream root, gc sweeps committed batches like stores and
+    removes an UNcommitted batch dir (crashed before its marker) only
+    once every file in it is older than the grace period."""
+    import time as _time
+
+    import plc
+    from plc import data as D
+    from plc.pipeline import PipelineConfig, encode
+
+    root = tempfile.mkdtemp(prefix="plc_ds_gcs_") + "/stream"
+    try:
+        srcp = os.path.join(os.path.dirname(root), "in.parquet")
+        D.synth_tokens_parquet(srcp, 300, regime="zipf", seed=3)
+        df = spark.read.parquet(srcp)
+        from plc import fsio
+
+        for bid in (0, 1):
+            bdst = f"{root}/batch={bid}"
+            encode(spark, df, bdst,
+                   PipelineConfig(num_partitions=2, straggler_parts=0),
+                   mode="overwrite")
+            fsio.write_text(spark, f"{bdst}/_manifest/_STREAM_COMMITTED",
+                            "1")
+        # crashed batch: data but no marker
+        crashed = f"{root}/batch=2"
+        encode(spark, df, crashed,
+               PipelineConfig(num_partitions=2, straggler_parts=0),
+               mode="overwrite")
+        os.remove(os.path.join(crashed, "_manifest", "plan.json"))
+        shutil.rmtree(os.path.join(crashed, "_manifest"))
+
+        rep = plc.gc(root, grace_sec=3600)
+        assert os.path.isdir(crashed)  # young: protected
+        past = _time.time() - 7200
+        for dirpath, _dirs, files in os.walk(crashed):
+            for f in files:
+                os.utime(os.path.join(dirpath, f), (past, past))
+        rep2 = plc.gc(root, grace_sec=3600)
+        assert not os.path.exists(crashed)
+        assert rep2["removed"] and rep2["removed"][0].endswith("batch=2")
+        from plc.streaming import decode_stream
+
+        assert decode_stream(spark, root).count() == 600
+    finally:
+        shutil.rmtree(os.path.dirname(root), ignore_errors=True)

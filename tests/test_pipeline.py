@@ -708,3 +708,35 @@ def test_sampled_verify_and_codec_report(spark):
     for c in cols:
         assert abs(sum(r["chunks_share"] for r in rep
                        if r["column"] == c) - 1.0) < 0.05, c
+
+
+def test_orphan_part_dirs_not_adopted_on_resume(spark, src_df):
+    """ADVICE r5 (medium): a crashed format write leaves orphan
+    data/part_id=<pid>/ dirs with task-partition pids that can exceed a
+    later encode plan's part count; encode(resume=True) pre-clean must
+    enumerate the ACTUAL dirs (not range(total_parts)) or the manifest
+    rollup silently adopts the orphan chunks as committed data."""
+    import glob as _glob
+    import shutil as _shutil
+
+    from plc.pipeline import PipelineConfig, decode, encode
+
+    dst = tempfile.mkdtemp(prefix="plc_orphan_")
+    try:
+        cfg = PipelineConfig(num_partitions=4, straggler_parts=0)
+        # simulate the crashed format write: data dirs present (one with
+        # pid far beyond the plan's 4 parts), no plan, no manifest
+        encode(spark, src_df, dst, cfg, mode="overwrite")
+        some_file = _glob.glob(os.path.join(dst, "data", "part_id=0",
+                                            "*.parquet"))[0]
+        orphan_dir = os.path.join(dst, "data", "part_id=99")
+        os.makedirs(orphan_dir)
+        _shutil.copy(some_file, os.path.join(orphan_dir, "orphan.parquet"))
+        _shutil.rmtree(os.path.join(dst, "_manifest"))
+
+        encode(spark, src_df, dst, cfg, resume=True)
+        assert not os.path.exists(orphan_dir)
+        got = decode(spark, dst).count()
+        assert got == src_df.count()  # orphan chunks were NOT adopted
+    finally:
+        _shutil.rmtree(dst, ignore_errors=True)
