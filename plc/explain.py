@@ -77,9 +77,12 @@ def main(out_path: str = "BENCH/PLANS.md") -> None:
     keys = [f"doc-{i:012d}" for i in (3, 57, 123, 999)]
     sections.append((
         "Batch point lookup (doc_id IN-list): ONE broadcast semi-join "
-        "against the (key, bloom-h1, bloom-h2) table — range overlap + "
-        "bloom bit-test per candidate pair as JVM expressions; N keys = "
-        "one pruned scan, never N decodes",
+        "against the (key, bloom-h1, bloom-h2, candidate-part) table — "
+        "an EQUI-join on part_id (each key maps to its range part + "
+        "crc32 straggler part via the encoder's own routing arithmetic, "
+        "r6) with range overlap + bloom bit-test as the residual, so "
+        "condition evals are O(overlapping pairs) at any chunk/key "
+        "count; N keys = one pruned scan, never N decodes",
         fmt(select_chunks(spark, dst, doc_ids=keys)[0])))
     sections.append((
         "Multi-range chunk selection (OR of (lo,hi) ranges in one scan — "
