@@ -9,10 +9,12 @@ marker followed by one literal byte. Symbols never cross string boundaries,
 preserving per-string random access.
 
 Vectorization strategy (no per-row Python, BASELINE.json input_hint):
-- matching: for each symbol length L, an 8-byte-window → uint64 key is
-  computed for every position at once and looked up via ``np.searchsorted``;
 - the greedy walk advances all strings in lockstep — one vectorized gather
   per step, loop length = max symbols per string, not total symbols;
+- matching runs on-the-fly at each step's positions: 8-byte-window →
+  uint64 keys (gathered), then per symbol length a ``np.searchsorted``
+  over that length's sorted key array — positions inside matched symbols
+  are never visited, so match work is O(emitted symbols), not O(bytes);
 - decode parses escape units the same lockstep way.
 
 Training runs on a ≤16 KiB sample in plain Python (paper §4 samples the
@@ -141,45 +143,39 @@ def _take_sample(data: np.ndarray, lengths: np.ndarray) -> list[bytes]:
 # --------------------------------------------------------------------------
 
 
-def _window_keys(data: np.ndarray, max_len: int) -> np.ndarray:
-    """keys[i] = little-endian uint64 of data[i:i+8] (zero-padded at tail)."""
-    n = data.size
-    padded = np.zeros(n + MAX_SYM_LEN, dtype=np.uint8)
-    padded[:n] = data
-    keys = np.zeros(n, dtype=np.uint64)
-    for j in range(max_len):
-        keys |= padded[j : j + n].astype(np.uint64) << np.uint64(8 * j)
-    return keys
+def _match_at(table: SymbolTable, padded: np.ndarray, pos: np.ndarray,
+              remaining: np.ndarray, lens_desc: list[int]):
+    """Greedy longest-match at the given positions only (vectorized).
 
-
-def _match(table: SymbolTable, data: np.ndarray, row_end: np.ndarray):
-    """Greedy longest-match per position (vectorized over all positions).
-
-    Returns (code uint8[n], match_len int64[n]); unmatched positions get the
-    escape marker with match_len 1.
+    Returns (code uint8[m], match_len int64[m]); unmatched positions get
+    the escape marker with match_len 1. ``padded`` is the data plane with
+    MAX_SYM_LEN zero bytes appended so 8-byte windows never run off the
+    end. Matching only at the walk's current positions — instead of
+    precomputing every byte offset — cuts the searchsorted work by the
+    average match length (~4-8x on id-like columns): a position inside a
+    matched symbol is never visited, so its match was wasted work.
     """
-    n = data.size
-    code = np.full(n, ESCAPE, dtype=np.uint8)
-    mlen = np.ones(n, dtype=np.int64)
-    if n == 0:
+    m = pos.size
+    code = np.full(m, ESCAPE, dtype=np.uint8)
+    mlen = np.ones(m, dtype=np.int64)
+    if m == 0 or not lens_desc:
         return code, mlen
-    max_len = max(self_len for self_len in table.by_len) if table.by_len else 0
-    if max_len == 0:
-        return code, mlen
-    keys = _window_keys(data, max_len)
-    remaining = row_end - np.arange(n)
-    matched = np.zeros(n, dtype=bool)
-    for length in range(max_len, 0, -1):
-        if length not in table.by_len:
-            continue
+    keys = np.zeros(m, dtype=np.uint64)
+    for j in range(lens_desc[0]):
+        keys |= padded[pos + j].astype(np.uint64) << np.uint64(8 * j)
+    matched = np.zeros(m, dtype=bool)
+    for length in lens_desc:
         skeys, scodes = table.by_len[length]
-        lkeys = keys & np.uint64((1 << (8 * length)) - 1) if length < 8 else keys
+        lkeys = keys & np.uint64((1 << (8 * length)) - 1) \
+            if length < 8 else keys
         idx = np.searchsorted(skeys, lkeys)
         idx[idx >= skeys.size] = 0
         hit = (skeys[idx] == lkeys) & (remaining >= length) & ~matched
         code[hit] = scodes[idx[hit]]
         mlen[hit] = length
         matched |= hit
+        if matched.all():
+            break
     return code, mlen
 
 
@@ -198,14 +194,16 @@ def fsst_encode(data: np.ndarray, lengths: np.ndarray,
 
     nrows = lengths.size
     offsets = offsets_from_lengths(lengths)
-    row_end = np.repeat(offsets[1:], lengths) if data.size else np.empty(0, np.int64)
-    code, mlen = _match(table, data, row_end)
+    padded = np.zeros(data.size + MAX_SYM_LEN, dtype=np.uint8)
+    padded[: data.size] = data
+    lens_desc = sorted(table.by_len, reverse=True)
 
     # Lockstep greedy walk with active-set compaction: each step gathers
     # only rows that still have bytes left, so total work/memory is
     # O(total emitted symbols) even when one string is far longer than the
     # rest (a single skewed row no longer drags every row through its
-    # steps — that shape was an OOM-class blowup).
+    # steps — that shape was an OOM-class blowup). Matching happens
+    # on-the-fly per step (_match_at), touching only visited positions.
     pos = offsets[:-1].copy()
     ends = offsets[1:]
     rows = np.arange(nrows, dtype=np.int64)
@@ -217,11 +215,12 @@ def fsst_encode(data: np.ndarray, lengths: np.ndarray,
     em_pos: list[np.ndarray] = []
     step = 0
     while pos.size:
+        code, mlen = _match_at(table, padded, pos, ends_a - pos, lens_desc)
         em_rows.append(rows_a.copy())
         em_steps.append(np.full(pos.size, step, dtype=np.int64))
-        em_codes.append(code[pos])
+        em_codes.append(code)
         em_pos.append(pos.copy())
-        pos = pos + mlen[pos]
+        pos = pos + mlen
         alive = pos < ends_a
         if not alive.all():
             pos, ends_a, rows_a = pos[alive], ends_a[alive], rows_a[alive]
