@@ -66,3 +66,43 @@ def test_empty_input():
         np.empty(0, np.uint8), np.empty(0, np.int64))
     out = fsst.fsst_decode(blob, codes, code_lens)
     assert out.size == 0
+
+
+def test_greedy_longest_match_with_prefix_symbols():
+    """The on-the-fly matcher must still pick the LONGEST symbol at each
+    position when shorter symbols are prefixes of longer ones, and must
+    fall back down the lengths correctly at string tails."""
+    tbl = fsst.SymbolTable([b"ab", b"abcd", b"abcdefgh", b"c"])
+    strs = [b"abcdefgh" * 4, b"abcd", b"ab", b"abc", b"c", b"cab"]
+    data, lengths = _planes(strs)
+    blob, codes, code_lens = fsst.fsst_encode(data, lengths, tbl)
+    out = fsst.fsst_decode(blob, codes, code_lens)
+    assert out.tobytes() == data.tobytes()
+    # "abcdefgh"*4 -> 4 codes; "abcd" -> 1; "ab" -> 1; "abc" -> ab + c;
+    # "c" -> 1; "cab" -> c + ab
+    assert code_lens.tolist() == [4, 1, 1, 2, 1, 2]
+
+
+def test_skewed_row_compaction_matches_uniform():
+    """One very long row among short ones exercises the active-set
+    compaction (the long row walks alone for most steps); output must
+    still round-trip and codes must be identical to encoding the rows
+    separately."""
+    long_row = b"doc-" + b"0123456789abcdef" * 500
+    strs = [f"doc-{i:06d}".encode() for i in range(200)] + [long_row]
+    data, lengths = _planes(strs)
+    tbl = fsst.train(data, lengths)
+    blob, codes, code_lens = fsst.fsst_encode(data, lengths, tbl)
+    assert fsst.fsst_decode(blob, codes, code_lens).tobytes() == \
+        data.tobytes()
+    # per-row independence: encoding each row alone with the same table
+    # yields the same per-row code streams (symbols never cross rows)
+    from plc.kernels import offsets_from_lengths
+
+    offs = offsets_from_lengths(code_lens)
+    for i in (0, 123, 200):
+        d_i = np.frombuffer(strs[i], np.uint8)
+        _, c_i, cl_i = fsst.fsst_encode(
+            d_i, np.array([len(strs[i])], np.int64), tbl)
+        assert np.array_equal(c_i, codes[offs[i]:offs[i + 1]]), i
+        assert cl_i[0] == code_lens[i]
