@@ -299,6 +299,13 @@ class PLCDataSource(DataSource):
 
     def reader(self, schema: StructType) -> "DataSourceReader":
         if self._view() == "chunks":
+            if self.options.get("filters") is not None:
+                # the multi-range filters option selects DATA rows; on the
+                # metadata view it would be silently ignored — fail loudly
+                raise ValueError(
+                    "plc data source: the 'filters' option applies to the "
+                    "'data' view only; filter the chunks view with normal "
+                    "DataFrame predicates on its metadata columns")
             return PLCChunksReader(self._path(), schema)
         return PLCReader(self._path(), schema,
                          self.options.get("filters"))

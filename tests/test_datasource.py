@@ -1026,3 +1026,13 @@ def test_gc_stream_root_drops_aged_uncommitted_batch(spark):
         assert decode_stream(spark, root).count() == 600
     finally:
         shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+
+
+def test_chunks_view_rejects_filters_option(spark, store):
+    """The multi-range 'filters' option selects data rows; combining it
+    with the metadata view would silently ignore it — it must raise."""
+    _src, dst = store
+    with pytest.raises(Exception, match="data.*view|filters"):
+        (spark.read.format("plc").option("view", "chunks")
+         .option("filters", '[{"column": "n_tok", "ranges": [[1, 2]]}]')
+         .load(dst).count())
