@@ -208,13 +208,31 @@ def _committed_entries(pfs: _PlanFS, rel: str) -> "dict[int, set[str] | None]":
     return out
 
 
-def _store_roots(pfs: _PlanFS, path: str) -> list[str]:
+def _store_roots(pfs: _PlanFS, path: str,
+                 batch_ids: "str | None" = None) -> list[str]:
     """Sub-store roots of a destination: [""] for a plain store, the
     committed ``batch=<id>`` dirs for a stream root. Raises when the path
-    is neither."""
+    is neither. ``batch_ids`` (the reader option: comma-separated ids)
+    PINS the batch set — the scan covers exactly those batches even if
+    more commit between planning calls, which is what a race-free
+    compact→expire cycle needs; an id that is not committed raises
+    rather than silently narrowing the scan."""
     if pfs.exists(posixpath.join("_manifest", "plan.json")):
+        if batch_ids is not None:
+            raise ValueError(
+                f"{path} is a plain plc store; the batch_ids option "
+                f"applies to stream roots only")
         return [""]
-    roots = [f"batch={bid}" for bid in _committed_batch_ids(pfs)]
+    committed = _committed_batch_ids(pfs)
+    if batch_ids is not None:
+        want = sorted({int(b) for b in str(batch_ids).split(",") if b != ""})
+        missing = [b for b in want if b not in set(committed)]
+        if missing:
+            raise FileNotFoundError(
+                f"batch_ids {missing} not committed under {path} "
+                f"(committed: {committed})")
+        committed = want
+    roots = [f"batch={bid}" for bid in committed]
     if not roots:
         raise FileNotFoundError(
             f"{path} is neither a plc store (_manifest/plan.json) "
@@ -306,9 +324,11 @@ class PLCDataSource(DataSource):
                     "plc data source: the 'filters' option applies to the "
                     "'data' view only; filter the chunks view with normal "
                     "DataFrame predicates on its metadata columns")
-            return PLCChunksReader(self._path(), schema)
+            return PLCChunksReader(self._path(), schema,
+                                   self.options.get("batch_ids"))
         return PLCReader(self._path(), schema,
-                         self.options.get("filters"))
+                         self.options.get("filters"),
+                         self.options.get("batch_ids"))
 
     def writer(self, schema: StructType, overwrite: bool) -> "PLCWriter":
         return PLCWriter(self._path(), schema, overwrite,
@@ -347,10 +367,11 @@ class PLCReader(DataSourceReader):
     decode(); JSON has no typed literal to carry them safely)."""
 
     def __init__(self, path: str, schema: StructType,
-                 filters_opt: "str | None" = None):
+                 filters_opt: "str | None" = None,
+                 batch_ids: "str | None" = None):
         self.schema = schema  # Spark's PRUNED projection
         self.pfs = _PlanFS(path)
-        self.roots = _store_roots(self.pfs, path)
+        self.roots = _store_roots(self.pfs, path, batch_ids)
         self.plan = _load_plan(self.pfs, self.roots[0])
         # a stream root whose batches diverge in schema or weight column
         # would be silently mispruned/misread under roots[0]'s plan —
@@ -638,10 +659,11 @@ class PLCChunksReader(DataSourceReader):
     Works on plain stores and stream roots (union of committed batches);
     committed-parts isolation is identical to the data view."""
 
-    def __init__(self, path: str, schema: StructType):
+    def __init__(self, path: str, schema: StructType,
+                 batch_ids: "str | None" = None):
         self.schema = schema  # Spark's PRUNED projection
         self.pfs = _PlanFS(path)
-        self.roots = _store_roots(self.pfs, path)
+        self.roots = _store_roots(self.pfs, path, batch_ids)
 
     def partitions(self):
         from concurrent.futures import ThreadPoolExecutor

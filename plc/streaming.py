@@ -239,14 +239,23 @@ def compact_stream(spark: SparkSession, dst: str, out_dst: str,
     batches = committed_batches(spark, dst)
     if not batches:
         raise FileNotFoundError(f"no committed stream batches under {dst}")
-    out = None
-    for _bid, b in batches:
-        d = decode(spark, b)
-        out = d if out is None else out.unionByName(d)
-    report = encode(spark, out, out_dst,
+    ids = [bid for bid, _ in batches]
+    # ONE format-reader scan pinned to the consumed ids (batch_ids
+    # option) instead of an N-way unionByName of per-batch decodes: at
+    # thousands of microbatches the union's plan alone is O(N) analyzer
+    # work per query, while the format reader folds the batch union into
+    # its partition list — and the pin keeps the cycle race-free (a
+    # batch committing mid-compaction is in neither the scan nor the
+    # expiry set)
+    from plc.datasource import register
+
+    register(spark)
+    src = (spark.read.format("plc")
+           .option("batch_ids", ",".join(str(b) for b in ids)).load(dst))
+    report = encode(spark, src, out_dst,
                     cfg or PipelineConfig(num_partitions=8,
                                           straggler_parts=0), mode=mode)
-    report["batch_ids"] = [bid for bid, _ in batches]
+    report["batch_ids"] = ids
     return report
 
 

@@ -410,3 +410,38 @@ def test_stream_lifecycle_compact_then_expire(spark):
         shutil.rmtree(os.path.dirname(root), ignore_errors=True)
         shutil.rmtree(os.path.dirname(out), ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_format_reader_batch_ids_option(spark):
+    """The batch_ids option pins a stream-root scan to exactly the named
+    committed batches (the race-free compact cycle's read path); missing
+    ids and plain stores are rejected."""
+    import tempfile as tf
+
+    from plc import data as D, fsio
+    from plc.datasource import register
+    from plc.pipeline import PipelineConfig, encode
+
+    register(spark)
+    work = tf.mkdtemp(prefix="plc_bids_")
+    root = work + "/stream"
+    srcp = work + "/in.parquet"
+    D.synth_tokens_parquet(srcp, 300, regime="zipf", seed=5)
+    df = spark.read.parquet(srcp)
+    for bid in (0, 1, 2):
+        bdst = f"{root}/batch={bid}"
+        encode(spark, df, bdst,
+               PipelineConfig(num_partitions=2, straggler_parts=0),
+               mode="overwrite")
+        fsio.write_text(spark, f"{bdst}/_manifest/_STREAM_COMMITTED", "1")
+    all_rows = spark.read.format("plc").load(root).count()
+    assert all_rows == 900
+    sub = (spark.read.format("plc").option("batch_ids", "0,2").load(root))
+    assert sub.count() == 600
+    with pytest.raises(Exception, match="not committed"):
+        (spark.read.format("plc").option("batch_ids", "0,7")
+         .load(root).count())
+    store = f"{root}/batch=1"  # a plain store path
+    with pytest.raises(Exception, match="plain plc store"):
+        (spark.read.format("plc").option("batch_ids", "1")
+         .load(store).count())
