@@ -84,38 +84,119 @@ class SymbolTable:
 # --------------------------------------------------------------------------
 
 
+# little-endian window key masked to symbol length; index = length 1..8
+_KEY_MASKS = np.array([0] + [(1 << (8 * l)) - 1 for l in range(1, 8)]
+                      + [(1 << 64) - 1], dtype=np.uint64)
+# the lockstep walk's step count is the LONGEST sample string's symbol
+# count; chopping sample strings bounds it so one long document in the
+# sample can't turn training into thousands of tiny vector steps
+# (symbols simply never cross the artificial cut points — same class of
+# boundary as the string boundaries they already respect). 64 measured
+# 3x faster than 512 on long-text samples at +0.1% encoded size: the
+# walk is per-step-overhead-bound, and step count scales with piece size
+_SAMPLE_PIECE = 64
+
+
+def _count_groups(keys: np.ndarray, lens: np.ndarray):
+    """Occurrence counts per unique (key, len) pair."""
+    o = np.lexsort((keys, lens))
+    k, ln = keys[o], lens[o]
+    new = np.empty(k.size, dtype=bool)
+    new[0] = True
+    new[1:] = (k[1:] != k[:-1]) | (ln[1:] != ln[:-1])
+    gi = np.flatnonzero(new)
+    cnt = np.diff(np.append(gi, k.size))
+    return k[gi], ln[gi], cnt
+
+
 def train(data: np.ndarray, lengths: np.ndarray) -> SymbolTable:
-    """Learn a symbol table from a sample of the concatenated string plane."""
+    """Learn a symbol table from a sample of the concatenated string plane.
+
+    Each generation greedily parses the sample with the current table via
+    the SAME vectorized lockstep walk the encoder uses (paper §3: compress
+    the sample, count symbol and adjacent-pair frequencies, keep the
+    highest-gain candidates) — emitted units become (uint64 key, len)
+    pairs, pair candidates are key arithmetic, and counting is one
+    lexsort per multiset, so a generation is O(sample) vector work
+    instead of per-byte Python dict probes (was ~0.14 s per chunk, ~1/3
+    of encode wall)."""
     sample_strs = _take_sample(data, lengths)
+    pieces: list[bytes] = []
+    for s in sample_strs:
+        for i in range(0, len(s), _SAMPLE_PIECE):
+            pieces.append(s[i: i + _SAMPLE_PIECE])
+    if not pieces:
+        return SymbolTable([])
+    sdata = np.frombuffer(b"".join(pieces), dtype=np.uint8)
+    slens = np.array([len(p) for p in pieces], dtype=np.int64)
+    offsets = np.zeros(slens.size + 1, dtype=np.int64)
+    np.cumsum(slens, out=offsets[1:])
+    padded = np.zeros(sdata.size + MAX_SYM_LEN, dtype=np.uint8)
+    padded[: sdata.size] = sdata
+
     syms: list[bytes] = []
     for _ in range(GENERATIONS):
-        count1: dict[bytes, int] = {}
-        count2: dict[tuple[bytes, bytes], int] = {}
-        table = {s: None for s in syms}
-        for s in sample_strs:
-            prev = None
-            i, n = 0, len(s)
-            while i < n:
-                m = None
-                for ln in range(min(MAX_SYM_LEN, n - i), 0, -1):
-                    cand = s[i : i + ln]
-                    if cand in table:
-                        m = cand
-                        break
-                if m is None:
-                    m = s[i : i + 1]  # escaped byte = pseudo-symbol candidate
-                count1[m] = count1.get(m, 0) + 1
-                if prev is not None and len(prev) + len(m) <= MAX_SYM_LEN:
-                    count2[(prev, m)] = count2.get((prev, m), 0) + 1
-                prev = m
-                i += len(m)
-        gains: dict[bytes, int] = {}
-        for s, c in count1.items():
-            gains[s] = max(gains.get(s, 0), c * len(s))
-        for (a, b), c in count2.items():
-            merged = a + b
-            gains[merged] = max(gains.get(merged, 0), c * len(merged))
-        syms = [s for s, _ in sorted(gains.items(), key=lambda kv: -kv[1])[:MAX_SYMBOLS]]
+        table = SymbolTable(syms)
+        lens_desc = sorted(table.by_len, reverse=True)
+        # lockstep greedy parse collecting (row, step, key, len) per unit
+        pos = offsets[:-1].copy()
+        ends_a = offsets[1:].copy()
+        rows_a = np.arange(slens.size, dtype=np.int64)
+        alive = pos < ends_a
+        pos, ends_a, rows_a = pos[alive], ends_a[alive], rows_a[alive]
+        er, es, ek, el = [], [], [], []
+        step = 0
+        while pos.size:
+            _code, mlen = _match_at(table, padded, pos, ends_a - pos,
+                                    lens_desc)
+            wk = np.zeros(pos.size, dtype=np.uint64)
+            for j in range(MAX_SYM_LEN):
+                wk |= padded[pos + j].astype(np.uint64) << np.uint64(8 * j)
+            er.append(rows_a.copy())
+            es.append(np.full(pos.size, step, dtype=np.int64))
+            ek.append(wk & _KEY_MASKS[mlen])
+            el.append(mlen)
+            pos = pos + mlen
+            alive = pos < ends_a
+            if not alive.all():
+                pos, ends_a, rows_a = pos[alive], ends_a[alive], rows_a[alive]
+            step += 1
+        rows_e = np.concatenate(er)
+        order = np.lexsort((np.concatenate(es), rows_e))
+        rows_e = rows_e[order]
+        keys_e = np.concatenate(ek)[order]
+        lens_e = np.concatenate(el)[order]
+
+        # candidate gains: every emitted unit (matched symbol or escaped
+        # byte as a pseudo-symbol), and every within-row adjacent pair
+        # whose concatenation still fits MAX_SYM_LEN
+        k1, l1, c1 = _count_groups(keys_e, lens_e)
+        allk, alll, allg = [k1], [l1], [c1 * l1]
+        same = rows_e[1:] == rows_e[:-1]
+        la, lb = lens_e[:-1][same], lens_e[1:][same]
+        fit = la + lb <= MAX_SYM_LEN
+        if fit.any():
+            laf = la[fit]
+            mk = keys_e[:-1][same][fit] | (
+                keys_e[1:][same][fit] << (np.uint64(8)
+                                          * laf.astype(np.uint64)))
+            k2, l2, c2 = _count_groups(mk, (la + lb)[fit])
+            allk.append(k2)
+            alll.append(l2)
+            allg.append(c2 * l2)
+        k = np.concatenate(allk)
+        ln = np.concatenate(alll)
+        g = np.concatenate(allg)
+        # a candidate seen both standalone and as a concatenation keeps
+        # its best gain (matches the prior trainer's max-merge)
+        o = np.lexsort((g, k, ln))
+        k, ln, g = k[o], ln[o], g[o]
+        last = np.empty(k.size, dtype=bool)
+        last[-1] = True
+        last[:-1] = (k[1:] != k[:-1]) | (ln[1:] != ln[:-1])
+        k, ln, g = k[last], ln[last], g[last]
+        sel = np.lexsort((k, ln, -g))[:MAX_SYMBOLS]
+        syms = [int(k[i]).to_bytes(8, "little")[: int(ln[i])] for i in sel]
     return SymbolTable(syms)
 
 

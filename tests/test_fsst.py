@@ -106,3 +106,17 @@ def test_skewed_row_compaction_matches_uniform():
             d_i, np.array([len(strs[i])], np.int64), tbl)
         assert np.array_equal(c_i, codes[offs[i]:offs[i + 1]]), i
         assert cl_i[0] == code_lens[i]
+
+
+def test_trainer_deterministic_and_learns_dominant_pattern():
+    """The vectorized trainer breaks gain ties deterministically
+    (len, key ascending), so the same plane always yields the same
+    table; and a heavily repeated substring must surface as (part of)
+    a learned multi-byte symbol."""
+    strs = [b"common-crawl/2024/segment-%06d" % i for i in range(5000)]
+    data, lengths = _planes(strs)
+    t1 = fsst.train(data, lengths)
+    t2 = fsst.train(data, lengths)
+    assert t1.syms == t2.syms
+    assert any(len(s) >= 4 and s in b"common-crawl/2024/segment-"
+               for s in t1.syms), t1.syms[:20]
