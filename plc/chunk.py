@@ -339,9 +339,17 @@ def encode_float_plane(arr: np.ndarray, cfg: EncodeConfig, *,
 
 def _string_planes(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     """Arrow string array → (lengths int64, flat utf8 bytes uint8)."""
-    arr = arr.cast(pa.large_string()) if pa.types.is_string(arr.type) else arr
-    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int64,
-                            count=len(arr) + 1, offset=arr.offset * 8)
+    if pa.types.is_string(arr.type):
+        # read the int32 offsets directly instead of casting the array to
+        # large_string: the cast copies the WHOLE data buffer just to
+        # widen offsets (~0.05 s per 150k-row plane); widening the
+        # (n+1)-element offsets array is O(rows), not O(bytes)
+        offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32,
+                                count=len(arr) + 1,
+                                offset=arr.offset * 4).astype(np.int64)
+    else:
+        offsets = np.frombuffer(arr.buffers()[1], dtype=np.int64,
+                                count=len(arr) + 1, offset=arr.offset * 8)
     lengths = np.diff(offsets)
     databuf = arr.buffers()[2]
     data = (np.frombuffer(databuf, dtype=np.uint8,
