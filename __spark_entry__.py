@@ -323,6 +323,41 @@ def _format_agg_pushdown(spark, sf):
                   F.max("max_doc_id").alias("max_doc"))
 
 
+def _chunks_null_stats(spark, sf):
+    """r6: per-column NULL accounting and null-skipping min/max served
+    from the chunks metadata view alone (K10 ``column_stats`` records
+    ``nulls`` for every column and ``pc.min_max`` skips nulls): plant
+    nulls in a string and an int column, encode, then answer
+    count(col) / count-of-nulls / min / max with ZERO payload bytes
+    read. The oracle recomputes the same aggregates from the raw
+    documents table."""
+    from plc.datasource import register
+    from plc.pipeline import PipelineConfig, encode
+
+    src = (tokens_view(spark, sf)
+           .withColumn("opt_src", F.expr("nullif(source, 'src7')"))
+           .withColumn("opt_w", F.expr(
+               "CASE WHEN n_tok % 3 = 0 THEN CAST(NULL AS BIGINT) "
+               "ELSE CAST(n_tok AS BIGINT) END")))
+    dst = tempfile.mkdtemp(prefix="plc_qnull_")
+    encode(spark, src, dst,
+           PipelineConfig(num_partitions=4, straggler_parts=0,
+                          max_chunk_values=500_000), mode="overwrite")
+    register(spark)
+    ch = spark.read.format("plc").option("view", "chunks").load(dst)
+    null_src = F.get_json_object("stats", "$.opt_src.nulls").cast("bigint")
+    null_w = F.get_json_object("stats", "$.opt_w.nulls").cast("bigint")
+    return ch.agg(
+        F.sum("n_rows").alias("n_docs"),
+        F.sum(null_src).alias("null_src"),
+        F.sum(null_w).alias("null_w"),
+        (F.sum("n_rows") - F.sum(null_w)).alias("cnt_w"),
+        F.min(F.get_json_object("stats", "$.opt_w.min")
+              .cast("bigint")).alias("wmin"),
+        F.max(F.get_json_object("stats", "$.opt_w.max")
+              .cast("bigint")).alias("wmax"))
+
+
 def _dedup_exact_stats(spark, sf):
     """Exact dedup statistics per source (hash-groupBy, one shuffle)."""
     from plc.dedup import exact_dedup_stats
@@ -983,6 +1018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "format_read_agg": _format_read_agg,
         "format_multirange_agg": _format_multirange_agg,
         "format_agg_pushdown": _format_agg_pushdown,
+        "chunks_null_stats": _chunks_null_stats,
         "dedup_exact_stats": _dedup_exact_stats,
         "dedup_minhash_pairs": _dedup_minhash_pairs,
         "simhash_near_dup": _simhash_near_dup,
@@ -1132,6 +1168,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(n_tok) AS BIGINT) AS min_tok,
                    CAST(max(n_tok) AS BIGINT) AS max_tok,
                    min(doc_id) AS min_doc, max(doc_id) AS max_doc
+            FROM toks
+        """,
+        "chunks_null_stats": f"""
+            WITH toks AS (SELECT len({_TOKENS_SQL}) AS n_tok, source
+                          FROM documents)
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN source = 'src7' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS null_src,
+                   CAST(sum(CASE WHEN n_tok % 3 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS null_w,
+                   CAST(count(CASE WHEN n_tok % 3 <> 0 THEN 1 END)
+                        AS BIGINT) AS cnt_w,
+                   CAST(min(CASE WHEN n_tok % 3 <> 0 THEN n_tok END)
+                        AS BIGINT) AS wmin,
+                   CAST(max(CASE WHEN n_tok % 3 <> 0 THEN n_tok END)
+                        AS BIGINT) AS wmax
             FROM toks
         """,
         "dedup_exact_stats": """
