@@ -6,8 +6,8 @@
   ``dst/batch=<id>/``. Replayed batches (failure between sink write and
   checkpoint commit) hit the engine's own crash-recovery guard and resume
   idempotently, so the sink is exactly-once without any extra state.
-- :func:`decode_stream` — union of :func:`plc.pipeline.decode` over the
-  committed batch directories (each carries its own plan + manifest).
+- :func:`decode_stream` — one ``plc``-format scan over the committed
+  batch directories (each carries its own plan + manifest).
 - :func:`windowed_token_stats` — watermarked tumbling-window aggregation
   over a streaming source (late rows beyond the watermark are dropped by
   Spark's state store; the query is a plain groupBy(window) so the same
@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from plc.pipeline import PipelineConfig, decode, encode
+from plc.pipeline import PipelineConfig, encode
 
 
 def encode_stream(stream_df: DataFrame, dst: str, checkpoint: str,
@@ -88,15 +88,19 @@ def committed_batches(spark: SparkSession, dst: str) -> list[tuple[int, str]]:
 
 def decode_stream(spark: SparkSession, dst: str) -> DataFrame:
     """Read everything committed by :func:`encode_stream` or the format
-    stream sink: union of the per-batch decodes (each batch dir is a
-    complete encode)."""
-    out = None
-    for _bid, b in committed_batches(spark, dst):
-        d = decode(spark, b)
-        out = d if out is None else out.unionByName(d)
-    if out is None:
+    stream sink. ONE format-reader scan — the reader folds the
+    committed-batch union into its partition list, so the plan is O(1)
+    analyzer work instead of the previous N-way ``unionByName`` of
+    per-batch decodes (O(N) per downstream query at thousands of
+    microbatches; same fix as :func:`compact_stream`). The reader also
+    refuses schema/weight divergence across batches, which the by-name
+    union would have papered over."""
+    from plc.datasource import register
+
+    if not committed_batches(spark, dst):
         raise FileNotFoundError(f"no committed stream batches under {dst}")
-    return out
+    register(spark)
+    return spark.read.format("plc").load(dst)
 
 
 def windowed_token_stats(stream_df: DataFrame, *, window: str = "1 hour",
