@@ -674,6 +674,28 @@ def _accum_planes(mat: np.ndarray, isz: int, out_dt) -> np.ndarray:
     return acc
 
 
+_I32_MAX = (1 << 31) - 1
+
+
+def _var_array(typ, large_typ, n: int, lengths: np.ndarray,
+               data: np.ndarray) -> pa.Array:
+    """(lengths, flat byte plane) → a utf8/binary array. Offsets are
+    built as int32 and both buffers wrapped ZERO-copy (``pa.py_buffer``
+    keeps the numpy base alive) — the previous shape built large-offset
+    buffers via ``.tobytes()`` and then cast large→small, three full
+    copies of the data plane for one decode. Planes over 2 GiB (cannot
+    happen at the default chunk cap, but the container allows it) take
+    the large-offset fallback."""
+    offsets = K.offsets_from_lengths(lengths)
+    if offsets[-1] <= _I32_MAX:
+        return pa.Array.from_buffers(
+            typ, n, [None, pa.py_buffer(offsets.astype(np.int32)),
+                     pa.py_buffer(data)])
+    arr = pa.Array.from_buffers(
+        large_typ, n, [None, pa.py_buffer(offsets), pa.py_buffer(data)])
+    return arr.cast(typ)
+
+
 def decode_frame(buf: memoryview, pos: int = 0):
     """Decode one frame at ``pos``; returns (value, end_pos). Value is a
     numpy array for numeric planes, ``pa.Array`` for STRING/LIST32."""
@@ -708,19 +730,24 @@ def decode_frame(buf: memoryview, pos: int = 0):
             data = _decode_fsst_frame(buf, p2)
         else:
             data, _ = decode_frame(buf, p2)
-        offsets = K.offsets_from_lengths(np.asarray(lengths))
-        arr = pa.Array.from_buffers(
-            pa.large_utf8(), n, [None, pa.py_buffer(offsets.tobytes()),
-                                 pa.py_buffer(np.asarray(data, np.uint8).tobytes())])
-        return arr.cast(pa.string()), end
+        return _var_array(pa.utf8(), pa.large_utf8(), n,
+                          np.asarray(lengths),
+                          np.ascontiguousarray(data, np.uint8)), end
     if codec == LIST32:
         lengths, p2 = decode_frame(buf, body)
         values, _ = decode_frame(buf, p2)
         offsets = K.offsets_from_lengths(np.asarray(lengths))
-        arr = pa.LargeListArray.from_arrays(
-            pa.array(offsets, pa.int64()),
-            pa.array(np.asarray(values, np.int32), pa.int32()))
-        return arr.cast(pa.list_(pa.int32())), end
+        vals = pa.array(np.ascontiguousarray(values, np.int32))
+        if offsets[-1] <= _I32_MAX:
+            # int32 offsets built directly: the previous shape built a
+            # LargeListArray then cast to list<int32>, re-copying the
+            # offsets (and validating the values) a second time
+            arr = pa.ListArray.from_arrays(
+                pa.array(offsets.astype(np.int32)), vals)
+        else:
+            arr = pa.LargeListArray.from_arrays(
+                pa.array(offsets), vals).cast(pa.list_(pa.int32()))
+        return arr, end
     if codec == LISTGEN:
         lengths, p2 = decode_frame(buf, body)
         values, _ = decode_frame(buf, p2)
@@ -752,12 +779,9 @@ def decode_frame(buf: memoryview, pos: int = 0):
     if codec == BINARY:
         lengths, p2 = decode_frame(buf, body)
         data, _ = decode_frame(buf, p2)
-        offsets = K.offsets_from_lengths(np.asarray(lengths))
-        arr = pa.Array.from_buffers(
-            pa.large_binary(), n,
-            [None, pa.py_buffer(offsets.tobytes()),
-             pa.py_buffer(np.asarray(data, np.uint8).tobytes())])
-        return arr.cast(pa.binary()), end
+        return _var_array(pa.binary(), pa.large_binary(), n,
+                          np.asarray(lengths),
+                          np.ascontiguousarray(data, np.uint8)), end
     if codec == DELTA:
         first, dt_code = struct.unpack_from("<qB", buf, body)
         dt = _DTYPES[dt_code]

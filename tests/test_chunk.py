@@ -420,3 +420,29 @@ def test_bloom_version_gate():
     assert bloom_might_contain(stale, "gamma")   # foreign version: survives
     legacy = {k: v for k, v in st.items() if k != "bloom_v"}
     assert bloom_might_contain(legacy, "gamma")  # pre-versioning: survives
+
+
+def test_var_array_large_offset_fallback(monkeypatch):
+    """The int32 zero-copy fast path in decode_frame covers every plane
+    the default 256Ki-value chunk cap can produce; the >2 GiB large-
+    offset fallback is unreachable at test scale, so exercise it by
+    shrinking the threshold. Both paths must yield identical arrays for
+    string / binary / list<int32> planes (and the list path's own inline
+    branch, which mirrors _var_array)."""
+    import plc.chunk as C
+
+    strings = pa.array(["", "a", "bc", None, "defg" * 7], pa.string())
+    blobs = pa.array([b"", b"\x00\xff", None, b"xyz" * 9], pa.binary())
+    lists = pa.array([[1, 2, 3], [], None, list(range(40))],
+                     pa.list_(pa.int32()))
+    batch = pa.RecordBatch.from_pydict({
+        "doc_id": pa.array([f"d{i}" for i in range(5)]),
+        "s": strings.take(pa.array([0, 1, 2, 3, 4])),
+        "b": pa.concat_arrays([blobs, blobs.slice(0, 1)]),
+        "l": pa.concat_arrays([lists, lists.slice(0, 1)]),
+    })
+    blob, _ = C.pack_chunk(batch, C.EncodeConfig())
+    fast = C.unpack_chunk(blob)
+    monkeypatch.setattr(C, "_I32_MAX", 0)
+    slow = C.unpack_chunk(blob)
+    assert fast.equals(slow) and fast.to_pydict() == batch.to_pydict()
