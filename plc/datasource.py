@@ -1358,7 +1358,10 @@ def gc(dst: str, *, grace_sec: float = 86400.0) -> dict:
         name = posixpath.basename(st.path)
         if not name.startswith("batch="):
             continue
-        bid = int(name.split("=", 1)[1])
+        try:
+            bid = int(name.split("=", 1)[1])
+        except ValueError:
+            continue  # foreign dir: not a batch, never touch it
         if bid in committed_ids:
             _sweep_root(name)
         elif _all_old(name):
