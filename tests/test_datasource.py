@@ -1028,6 +1028,25 @@ def test_gc_stream_root_drops_aged_uncommitted_batch(spark):
         shutil.rmtree(os.path.dirname(root), ignore_errors=True)
 
 
+def test_gc_skips_foreign_batch_dir_names(spark):
+    """A stream-root dir whose name merely starts with ``batch=`` but is
+    not integer-suffixed (user scratch, tooling leftovers) is not a
+    batch: gc must skip it untouched instead of crashing on int()."""
+    import plc
+
+    root = tempfile.mkdtemp(prefix="plc_ds_gcf_") + "/stream"
+    try:
+        foreign = os.path.join(root, "batch=tmpjunk")
+        os.makedirs(foreign)
+        with open(os.path.join(foreign, "notes.txt"), "w") as f:
+            f.write("not a batch")
+        rep = plc.gc(root, grace_sec=0)
+        assert rep["removed"] == []
+        assert os.path.isdir(foreign)
+    finally:
+        shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+
+
 def test_chunks_view_rejects_filters_option(spark, store):
     """The multi-range 'filters' option selects data rows; combining it
     with the metadata view would silently ignore it — it must raise."""
