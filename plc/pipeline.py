@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import json
 import os
+import posixpath
 from dataclasses import dataclass, field
 from functools import reduce
 
@@ -112,18 +113,29 @@ def _weight_col(df: DataFrame) -> str:
 
 def build_plan(spark: SparkSession, df: DataFrame, cfg: PipelineConfig) -> dict:
     """Stats pre-pass (P2/P3 planning): sampled range bounds on doc_id plus
-    the straggler threshold τ. One sampled scan; all driver-side state is
-    O(num_partitions)."""
+    the straggler threshold τ. ONE job total: the exact row count rides the
+    sample job as an ``observe`` metric (it used to be a separate full
+    count() pass), and the sample itself is the bottom-``target`` rows by
+    ``xxhash64(doc_id)`` — a distributed TakeOrdered (per-partition top-k,
+    no shuffle), equivalent to a uniform key sample but with a size fixed
+    up front, so no count is needed to pick a fraction. All driver-side
+    state is O(num_partitions + target)."""
+    from pyspark.sql import Observation
+
     wcol = _weight_col(df)
-    total = df.count()  # parquet sources answer this from footer metadata
-    n_parts = cfg.num_partitions or max(8, min(1024, total // 250_000 + 1))
     # sample size scales with the part count (~200 ids per boundary is
     # plenty for even range bounds); cfg.bounds_sample stays the ceiling.
-    # Collecting a fixed 100k rows was ~1s of driver wall per encode at
-    # sf0.1 for 36 bounds that 17k rows pin just as well.
-    target = min(cfg.bounds_sample, 10_000 + 200 * n_parts)
-    frac = min(1.0, target / max(total, 1))
-    rows = df.select("doc_id", wcol).sample(frac, seed=42).collect()
+    # When num_partitions is auto (None) the part count depends on the
+    # not-yet-known total, so the ceiling itself is the target.
+    target = (min(cfg.bounds_sample, 10_000 + 200 * cfg.num_partitions)
+              if cfg.num_partitions else cfg.bounds_sample)
+    obs = Observation()
+    rows = (df.select("doc_id", wcol)
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .orderBy(F.xxhash64("doc_id", F.lit(42)))
+            .limit(target).collect())
+    total = int(obs.get["n"])
+    n_parts = cfg.num_partitions or max(8, min(1024, total // 250_000 + 1))
     sample = sorted(r[0] for r in rows)
     bounds = []
     if len(sample) >= n_parts > 1:
@@ -457,24 +469,27 @@ def _write_and_commit(spark: SparkSession, enc: DataFrame, dst: str,
 
     # manifest (commit point — written after the data, per part).
     # Explicit schema: an empty input writes zero part directories, which
-    # would otherwise fail parquet schema inference. The roll-up is ONE
-    # Spark job collecting O(parts) rows; zero-markers, the manifest
-    # write, and (on a fresh encode) the report totals are then driver
-    # arithmetic over those rows — the previous shape ran separate
-    # present-ids / write / report-read jobs, ~1.5 s of fixed wall per
-    # encode at any scale.
-    written = _read_enc(spark, dst)
-    man_rows = (written.groupBy("part_id")
-                .agg(F.count("*").alias("n_chunks"),
-                     F.sum("n_rows").alias("n_rows"),
-                     F.sum("n_tokens").alias("n_tokens"),
-                     F.sum("raw_bytes").alias("raw_bytes"),
-                     F.sum("enc_bytes").alias("enc_bytes"),
-                     F.min("min_doc_id").alias("min_doc_id"),
-                     F.max("max_doc_id").alias("max_doc_id"))
-                .collect())
-    man_rows = [tuple(r) for r in man_rows
-                if r["part_id"] not in committed]
+    # would otherwise fail parquet schema inference. The roll-up is driver
+    # pyarrow over the metadata columns of the freshly written part files
+    # (thread-pooled, payload column never read) when the store is small
+    # enough to enumerate driver-side — zero Spark jobs; bigger stores
+    # (or exotic filesystems pyarrow can't resolve) fall back to the ONE
+    # Spark roll-up job. Zero-markers, the manifest write, and (on a
+    # fresh encode) the report totals are driver arithmetic either way.
+    man_rows = _rollup_driver(dst, committed)
+    if man_rows is None:
+        written = _read_enc(spark, dst)
+        man_rows = (written.groupBy("part_id")
+                    .agg(F.count("*").alias("n_chunks"),
+                         F.sum("n_rows").alias("n_rows"),
+                         F.sum("n_tokens").alias("n_tokens"),
+                         F.sum("raw_bytes").alias("raw_bytes"),
+                         F.sum("enc_bytes").alias("enc_bytes"),
+                         F.min("min_doc_id").alias("min_doc_id"),
+                         F.max("max_doc_id").alias("max_doc_id"))
+                    .collect())
+        man_rows = [tuple(r) for r in man_rows
+                    if r["part_id"] not in committed]
     # zero-row commit markers for planned parts that produced no data (e.g.
     # straggler parts with no rows over τ) — without them resume would
     # re-run those parts forever instead of reaching a true no-op
@@ -482,20 +497,21 @@ def _write_and_commit(spark: SparkSession, enc: DataFrame, dst: str,
     man_rows += [(i, 0, 0, 0, 0, 0, None, None)
                  for i in range(total_parts)
                  if i not in present and i not in committed]
-    man = spark.createDataFrame(
-        man_rows,
-        "part_id int, n_chunks bigint, n_rows bigint, n_tokens bigint, "
-        "raw_bytes bigint, enc_bytes bigint, min_doc_id string, "
-        "max_doc_id string")
-    if committed:
-        # resuming a store whose manifest carries the format writer's
-        # `file` column: append with the same schema (file=NULL — the
-        # pipeline sink's parts read by dir, Spark's commit protocol
-        # already excludes orphans there)
-        existing = spark.read.parquet(_manifest_path(dst))
-        if "file" in existing.columns:
-            man = man.withColumn("file", F.lit(None).cast("string"))
-    man.write.mode("append").parquet(_manifest_path(dst))
+    if not _write_manifest_driver(dst, man_rows, committed):
+        man = spark.createDataFrame(
+            man_rows,
+            "part_id int, n_chunks bigint, n_rows bigint, n_tokens bigint, "
+            "raw_bytes bigint, enc_bytes bigint, min_doc_id string, "
+            "max_doc_id string")
+        if committed:
+            # resuming a store whose manifest carries the format writer's
+            # `file` column: append with the same schema (file=NULL — the
+            # pipeline sink's parts read by dir, Spark's commit protocol
+            # already excludes orphans there)
+            existing = spark.read.parquet(_manifest_path(dst))
+            if "file" in existing.columns:
+                man = man.withColumn("file", F.lit(None).cast("string"))
+        man.write.mode("append").parquet(_manifest_path(dst))
     if committed:
         # resume: totals span prior manifests too — read them back
         rep = _report(spark, dst, plan, newly_encoded=pending_parts)
@@ -513,6 +529,121 @@ def _write_and_commit(spark: SparkSession, enc: DataFrame, dst: str,
         }
     rep["data_path_sec"] = round(data_path_sec, 3)  # scan+shuffle+encode+write
     return rep
+
+
+# driver-side rollup/manifest fast path: at most this many freshly
+# written part files are enumerated and footer-read driver-side (32-way
+# thread pool, same shape as the format planner); past the cap the ONE
+# Spark roll-up job takes over — the cap bounds driver wall, not memory
+# (the rows read are O(chunks-metadata), payload never touched)
+_DRIVER_ROLLUP_MAX_FILES = 4096
+_MAN_PA_FIELDS = [("part_id", "int32"), ("n_chunks", "int64"),
+                  ("n_rows", "int64"), ("n_tokens", "int64"),
+                  ("raw_bytes", "int64"), ("enc_bytes", "int64"),
+                  ("min_doc_id", "string"), ("max_doc_id", "string")]
+_ROLLUP_COLS = ["n_rows", "n_tokens", "raw_bytes", "enc_bytes",
+                "min_doc_id", "max_doc_id"]
+
+
+def _rollup_driver(dst: str, committed: set[int]) -> "list[tuple] | None":
+    """Per-part manifest roll-up computed driver-side with pyarrow over
+    the metadata columns of the freshly written part files (the payload
+    column is never read — parquet is columnar). Returns None when the
+    path doesn't resolve through pyarrow.fs or the file count exceeds
+    the driver cap, in which case the caller runs the Spark roll-up job.
+    Exactly mirrors the Spark job: all files of every non-committed
+    ``part_id=`` dir, aggregated per part."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    try:
+        from plc.datasource import _PlanFS
+
+        pfs = _PlanFS(dst)
+        if not pfs.exists("data"):
+            return []
+        pdirs = []
+        for st in pfs.listdir("data"):
+            name = posixpath.basename(st.path)
+            if not name.startswith("part_id="):
+                continue
+            try:
+                pid = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if pid not in committed:
+                pdirs.append((pid, posixpath.join("data", name)))
+        files: list[tuple[int, str]] = []
+        with ThreadPoolExecutor(max_workers=32) as pool:
+            for (pid, _), infos in zip(
+                    pdirs, pool.map(lambda t: pfs.listdir(t[1]), pdirs)):
+                files.extend((pid, st.path) for st in infos
+                             if st.path.endswith(".parquet"))
+            if len(files) > _DRIVER_ROLLUP_MAX_FILES:
+                return None
+
+            def read_one(t):
+                pid, fp = t
+                tbl = pfs.read_parquet(fp, _ROLLUP_COLS)
+                return pid, tbl
+
+            agg: dict[int, list] = {}
+            for pid, tbl in pool.map(read_one, files):
+                cols = {c: tbl.column(c).to_pylist() for c in _ROLLUP_COLS}
+                a = agg.setdefault(pid, [0, 0, 0, 0, 0, None, None])
+                a[0] += tbl.num_rows
+                a[1] += sum(cols["n_rows"])
+                a[2] += sum(cols["n_tokens"])
+                a[3] += sum(cols["raw_bytes"])
+                a[4] += sum(cols["enc_bytes"])
+                mns = [v for v in cols["min_doc_id"] if v is not None]
+                mxs = [v for v in cols["max_doc_id"] if v is not None]
+                if mns:
+                    a[5] = min(mns) if a[5] is None else min(a[5], *mns)
+                if mxs:
+                    a[6] = max(mxs) if a[6] is None else max(a[6], *mxs)
+        return [(pid, *agg[pid]) for pid in sorted(agg)]
+    except Exception:
+        return None
+
+
+def _write_manifest_driver(dst: str, man_rows: list, committed: set[int]
+                           ) -> bool:
+    """Append one manifest parquet file driver-side with pyarrow (no
+    Spark job) — the same rows/schema the Spark write produced, under a
+    unique name so mode-append semantics hold. Returns False on any
+    resolution/IO failure (caller falls back to the Spark write)."""
+    import uuid
+
+    import pyarrow.parquet as _pq
+
+    try:
+        from plc.datasource import _PlanFS
+
+        pfs = _PlanFS(dst)
+        with_file = False
+        if committed:
+            # resuming a store whose manifest carries the format writer's
+            # `file` column: append with the same schema (file=NULL)
+            for st in pfs.listdir(posixpath.join("_manifest", "parts")):
+                if st.path.endswith(".parquet"):
+                    sch = _pq.read_schema(st.path, filesystem=pfs.fs)
+                    with_file = "file" in sch.names
+                    break
+        fields = _MAN_PA_FIELDS + ([("file", "string")] if with_file else [])
+        cols = list(zip(*man_rows)) if man_rows else [[] for _ in
+                                                      _MAN_PA_FIELDS]
+        if with_file:
+            cols = list(cols) + [[None] * len(man_rows)]
+        tbl = pa.table({name: pa.array(list(vals), getattr(pa, t)())
+                        for (name, t), vals in zip(fields, cols)})
+        pfs.fs.create_dir(pfs.join("_manifest", "parts"), recursive=True)
+        out = pfs.join("_manifest", "parts",
+                       f"manifest-{uuid.uuid4().hex[:12]}.parquet")
+        with pfs.fs.open_output_stream(out) as f:
+            _pq.write_table(tbl, f)
+        return True
+    except Exception:
+        return False
 
 
 def _report(spark: SparkSession, dst: str, plan: dict, newly_encoded: int) -> dict:
