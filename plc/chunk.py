@@ -983,15 +983,23 @@ def _bloom_build(col: pa.Array, bits_per_key: int = 10) -> dict | None:
             "bloom_m": m, "bloom_k": _BLOOM_K, "bloom_v": _BLOOM_V}
 
 
-def bloom_might_contain(st: dict, value: str) -> bool:
+def bloom_might_contain(st: dict, value: str,
+                        raw_bits: "bytes | None" = None) -> bool:
     """Pure-Python probe of a column_stats bloom entry; missing or
-    foreign-parameter blooms always pass (pruning stays a superset)."""
+    foreign-parameter blooms always pass (pruning stays a superset).
+    ``raw_bits`` supplies the bloom payload for new-layout stores, where
+    the bits live in the dedicated enc-table ``bloom`` column and the
+    stats dict carries only bloom_m/bloom_k/bloom_v; omitted, the
+    pre-split embedded b64 payload is used."""
     import base64
 
     b64, m, k = st.get("bloom"), st.get("bloom_m"), st.get("bloom_k")
-    if not b64 or not m or k != _BLOOM_K or st.get("bloom_v") != _BLOOM_V:
+    if raw_bits is None and b64:
+        raw_bits = base64.b64decode(b64)
+    if not raw_bits or not m or k != _BLOOM_K \
+            or st.get("bloom_v") != _BLOOM_V:
         return True
-    bits = np.frombuffer(base64.b64decode(b64), dtype=np.uint8)
+    bits = np.frombuffer(raw_bits, dtype=np.uint8)
     h1, h2 = _bloom_hashes(value)
     for i in range(_BLOOM_K):
         pos = (h1 + i * h2) & (m - 1)

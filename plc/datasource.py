@@ -530,9 +530,12 @@ class PLCReader(DataSourceReader):
                 return False
         return True
 
-    def _survives_stats(self, stats: dict, meta: dict) -> bool:
+    def _survives_stats(self, stats: dict, meta: dict,
+                        bloom_bits: "bytes | None" = None) -> bool:
         """Stats-JSON pruning for range-surviving chunks: generic/temporal
-        min-max plus the doc_id bloom probe(s)."""
+        min-max plus the doc_id bloom probe(s). ``bloom_bits`` carries the
+        new-layout dedicated-column bloom payload (None for pre-split
+        stores, where the bits are embedded in the stats JSON)."""
         probes = self._doc_probes()
         if probes:
             from plc.chunk import bloom_might_contain
@@ -541,7 +544,8 @@ class PLCReader(DataSourceReader):
             mn, mx = meta["min_doc_id"], meta["max_doc_id"]
             if not any(
                     (mn is None or v >= mn) and (mx is None or v <= mx)
-                    and bloom_might_contain(st, v) for v in probes):
+                    and bloom_might_contain(st, v, bloom_bits)
+                    for v in probes):
                 return False
         for col, (lo, hi) in self.bounds.items():
             if col == "doc_id" or (col == self.wcol and self.wcol != "_w"):
@@ -601,10 +605,25 @@ class PLCReader(DataSourceReader):
                 for i in range(meta.num_rows)]
         keep = [i for i, m in enumerate(rows) if self._survives_range(m)]
         if keep and self._needs_stats():
-            stats = self.pfs.read_parquet(fpath, ["stats"]).column("stats")
+            # new-layout stores keep the bloom bits in their own column
+            # (fetched only when a doc_id probe needs them — the stats
+            # JSON itself is a few hundred bytes); pre-split stores embed
+            # them in the stats JSON, which bloom_might_contain falls
+            # back to when no raw bits are passed
+            cols = ["stats"]
+            if self._doc_probes():
+                cols.append("bloom")
+            try:
+                tbl = self.pfs.read_parquet(fpath, cols)
+            except Exception:
+                cols = ["stats"]
+                tbl = self.pfs.read_parquet(fpath, cols)
+            stats = tbl.column("stats")
+            blooms = tbl.column("bloom") if "bloom" in cols else None
             keep = [i for i in keep
-                    if self._survives_stats(json.loads(stats[i].as_py()),
-                                            rows[i])]
+                    if self._survives_stats(
+                        json.loads(stats[i].as_py()), rows[i],
+                        blooms[i].as_py() if blooms is not None else None)]
         return [PLCChunkPartition(self.pfs, fpath,
                                   keep[i : i + _CHUNKS_PER_PART],
                                   self.opt_ranges or None)
@@ -983,7 +1002,7 @@ def _encode_task_partition(pfs: _PlanFS, rel: str, pid: int, jobid: str,
     import pyarrow.compute as pc
 
     from plc.chunk import EncodeConfig, column_stats, pack_chunk
-    from plc.pipeline import _ENC_ARROW_SCHEMA
+    from plc.pipeline import _ENC_ARROW_SCHEMA, split_bloom_stats
 
     cfg = EncodeConfig()
     enc_rows: list[pa.RecordBatch] = []
@@ -1002,6 +1021,7 @@ def _encode_task_partition(pfs: _PlanFS, rel: str, pid: int, jobid: str,
                .to_batches(max_chunksize=1 << 31)[0])
         blob, codecs = pack_chunk(big, cfg)
         stats = column_stats(big)
+        bloom = split_bloom_stats(stats)
         mm = pc.min_max(big.column("doc_id")).as_py()
         wstat = stats.get("n_tok", {})
         toks = int(wsum) if wcol == "n_tok" else big.num_rows
@@ -1019,6 +1039,7 @@ def _encode_task_partition(pfs: _PlanFS, rel: str, pid: int, jobid: str,
             pa.array([wstat.get("max")], pa.int64()),
             pa.array([json.dumps(stats)], pa.string()),
             pa.array([json.dumps(codecs)], pa.string()),
+            pa.array([bloom], pa.binary()),
             pa.array([blob], pa.binary()),
         ], schema=_ENC_ARROW_SCHEMA))
         totals["rows"] += big.num_rows

@@ -45,7 +45,8 @@ from plc.chunk import EncodeConfig, column_stats, pack_chunk, unpack_chunk
 ENC_SCHEMA_DDL = (
     "part_id int, chunk_idx int, n_rows bigint, n_tokens bigint, "
     "raw_bytes bigint, enc_bytes bigint, min_doc_id string, max_doc_id string, "
-    "min_w bigint, max_w bigint, stats string, codecs string, payload binary"
+    "min_w bigint, max_w bigint, stats string, codecs string, bloom binary, "
+    "payload binary"
 )
 # temporal chunk-stat pruning constants — single source of truth shared by
 # select_chunks (Column expressions) and the plc DataSource (plain Python);
@@ -67,8 +68,25 @@ _ENC_ARROW_SCHEMA = pa.schema([
     ("n_tokens", pa.int64()), ("raw_bytes", pa.int64()), ("enc_bytes", pa.int64()),
     ("min_doc_id", pa.string()), ("max_doc_id", pa.string()),
     ("min_w", pa.int64()), ("max_w", pa.int64()), ("stats", pa.string()),
-    ("codecs", pa.string()), ("payload", pa.binary()),
+    ("codecs", pa.string()), ("bloom", pa.binary()),
+    ("payload", pa.binary()),
 ])
+
+
+def split_bloom_stats(stats: dict) -> "bytes | None":
+    """Pop the doc_id bloom PAYLOAD out of a fresh ``column_stats`` dict
+    (in place) and return the raw bits for the dedicated ``bloom`` enc
+    column. The tiny ``bloom_m``/``bloom_k``/``bloom_v`` parameters stay
+    in the stats JSON; the bits (up to ~256 KB b64 per chunk) move out so
+    every stats-JSON consumer — null-count queries, generic min/max chunk
+    pruning, the chunks metadata view — stops parsing hundreds of KB it
+    never needs (the r6 verdict's terabytes-at-10^7-chunks finding)."""
+    import base64
+
+    dstat = stats.get("doc_id")
+    if dstat and "bloom" in dstat:
+        return base64.b64decode(dstat.pop("bloom"))
+    return None
 
 
 @dataclass
@@ -192,6 +210,7 @@ def _make_encoder(plan: dict, cfg: PipelineConfig):
                    .to_batches(max_chunksize=1 << 31)[0])
             blob, codecs = pack_chunk(big, codec_cfg)
             stats = column_stats(big)
+            bloom = split_bloom_stats(stats)
             docs = big.column("doc_id")
             toks = buf_tokens
             import pyarrow.compute as pc
@@ -217,6 +236,7 @@ def _make_encoder(plan: dict, cfg: PipelineConfig):
                 pa.array([wstat.get("max")], pa.int64()),
                 pa.array([json.dumps(stats)], pa.string()),
                 pa.array([json.dumps(codecs)], pa.string()),
+                pa.array([bloom], pa.binary()),
                 pa.array([blob], pa.binary()),
             ], schema=_ENC_ARROW_SCHEMA)
             chunk_idx += 1
@@ -1026,7 +1046,8 @@ def select_chunks(spark: SparkSession, dst: str, *,
         from plc.chunk import _bloom_hashes
 
         h1, h2 = _bloom_hashes(probe)
-        enc = enc.filter(_bloom_probe_expr(F.lit(h1), F.lit(h2)))
+        enc = enc.filter(_bloom_probe_expr(F.lit(h1), F.lit(h2),
+                                           from_col="bloom" in enc.columns))
     if doc_ids is not None:
         enc = _filter_doc_id_batch(spark, enc, doc_ids, plan)
     return enc, plan
@@ -1095,11 +1116,16 @@ def _filter_doc_id_batch(spark: SparkSession, enc: DataFrame,
         + (", _pid int" if part_of is not None else ""))
     # pre-extract the bloom fields ONCE PER CHUNK in a projection below
     # the join: the join condition evaluates per candidate pair, and
-    # JSON-parsing the stats string (which CONTAINS the up-to-256KB
-    # base64 bloom) plus unbase64 inside the condition would redo that
-    # work keys-overlapping-the-chunk times — measured 2.3x slower at
-    # 2k keys x 60 chunks (r5)
-    pre = {"_bb": F.unbase64(F.get_json_object("stats", "$.doc_id.bloom")),
+    # JSON-parsing the stats string plus unbase64 inside the condition
+    # would redo that work keys-overlapping-the-chunk times — measured
+    # 2.3x slower at 2k keys x 60 chunks (r5). New-layout stores carry
+    # the bits in the dedicated ``bloom`` column (no unbase64, and the
+    # stats JSON parsed for m/k/v is a few hundred bytes, not 256 KB);
+    # pre-split stores fall back to the embedded b64 payload.
+    legacy_bits = F.unbase64(F.get_json_object("stats", "$.doc_id.bloom"))
+    bits = (F.coalesce(F.col("bloom"), legacy_bits)
+            if "bloom" in enc.columns else legacy_bits)
+    pre = {"_bb": bits,
            "_bm": F.get_json_object("stats",
                                     "$.doc_id.bloom_m").cast("bigint"),
            "_bk": F.get_json_object("stats",
@@ -1120,21 +1146,33 @@ def _filter_doc_id_batch(spark: SparkSession, enc: DataFrame,
         .drop(*pre.keys())
 
 
-def _bloom_probe_expr(h1, h2):
-    """JVM-side bloom membership test against the per-chunk stats JSON for
-    an exact doc_id probe — pure Column expressions (unbase64 + substring +
-    hex/conv bit test), no Python in the pruning scan. ``h1``/``h2`` are
-    bigint Columns (literals for a single probe, join-side columns for the
-    batch lookup) from :func:`plc.chunk._bloom_hashes`. Chunks without a
-    bloom (or with foreign parameters) always survive; false positives are
-    settled by decode()'s exact row filter."""
-    b64 = F.get_json_object("stats", "$.doc_id.bloom")
+def _bloom_probe_expr(h1, h2, from_col: bool = False):
+    """JVM-side bloom membership test for an exact doc_id probe — pure
+    Column expressions (substring + hex/conv bit test), no Python in the
+    pruning scan. ``h1``/``h2`` are bigint Columns (literals for a single
+    probe, join-side columns for the batch lookup) from
+    :func:`plc.chunk._bloom_hashes`. ``from_col`` selects the new layout
+    (bits in the dedicated ``bloom`` column, m/k/v in the now-small stats
+    JSON); False reads the pre-split embedded b64 payload. Chunks without
+    a bloom (or with foreign parameters) always survive; false positives
+    are settled by decode()'s exact row filter."""
+    if from_col:
+        # coalesce keeps a mixed store (old parts resumed with new code)
+        # fully pruned: the embedded-b64 branch only evaluates for chunks
+        # whose bloom column is NULL
+        bits = F.coalesce(
+            F.col("bloom"),
+            F.unbase64(F.get_json_object("stats", "$.doc_id.bloom")))
+        b64_null = bits.isNull()
+    else:
+        b64 = F.get_json_object("stats", "$.doc_id.bloom")
+        bits, b64_null = F.unbase64(b64), b64.isNull()
     return _bloom_probe_cols(
-        h1, h2, F.unbase64(b64),
+        h1, h2, bits,
         F.get_json_object("stats", "$.doc_id.bloom_m").cast("bigint"),
         F.get_json_object("stats", "$.doc_id.bloom_k").cast("int"),
         F.get_json_object("stats", "$.doc_id.bloom_v").cast("int"),
-        b64_null=b64.isNull())
+        b64_null=b64_null)
 
 
 def _bloom_probe_cols(h1, h2, bits, m, k, v, b64_null=None):

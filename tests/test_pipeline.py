@@ -1,12 +1,14 @@
 """End-to-end pipeline tests (SURVEY.md §5.2.3): encode → decode → per-row
 token-array equality, manifest completeness, pruning, resume idempotency."""
 
+import glob
 import json
 import os
 import shutil
 import tempfile
 
 import pytest
+from pyspark.sql import functions as F
 
 from plc import data as D
 from plc.pipeline import (PipelineConfig, build_plan, decode, encode, verify,
@@ -800,3 +802,101 @@ def test_batch_lookup_part_bucketed_equi_join(spark):
                    decode(spark, fdst, doc_ids=keys)
                    .select("doc_id").collect())
     assert got_f == sorted(stragglers + normals)
+
+
+def test_bloom_split_layout_and_legacy_fallback(spark):
+    """r7: the doc_id bloom payload lives in its own enc-table column —
+    the stats JSON every metadata query parses stays small (< 1 KB/chunk)
+    — and point/batch lookups prune identically on both the new layout
+    and a legacy store with the bloom embedded in the stats JSON."""
+    import base64
+    import json as _json
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from plc import data as D
+    from plc.pipeline import (PipelineConfig, decode, encode, select_chunks)
+
+    work = tempfile.mkdtemp(prefix="plc_bloomsplit_")
+    src_p = work + "/tokens.parquet"
+    D.synth_tokens_parquet(src_p, 400, regime="zipf", seed=13)
+    df = spark.read.parquet(src_p)
+    dst = work + "/store"
+    encode(spark, df, dst,
+           PipelineConfig(num_partitions=4, straggler_parts=0,
+                          max_chunk_values=5_000), mode="overwrite")
+
+    # layout: stats JSON small, bloom column carries the bits
+    files = sorted(glob.glob(os.path.join(dst, "data", "part_id=*",
+                                          "*.parquet")))
+    assert files
+    got_bloom = False
+    for f in files:
+        tbl = pq.read_table(f, columns=["stats", "bloom"])
+        for i in range(tbl.num_rows):
+            st = _json.loads(tbl.column("stats")[i].as_py())
+            assert len(tbl.column("stats")[i].as_py()) < 1024
+            assert "bloom" not in st.get("doc_id", {})
+            if tbl.column("bloom")[i].as_py() is not None:
+                got_bloom = True
+                assert st["doc_id"]["bloom_m"] > 0
+    assert got_bloom
+
+    all_ids = sorted(r[0] for r in df.select("doc_id").collect())
+    keys = all_ids[::41][:6]
+    absent = [k + "-absent" for k in keys]
+
+    def check(d):
+        got = sorted(r["doc_id"] for r in
+                     decode(spark, d, doc_ids=keys)
+                     .select("doc_id").collect())
+        assert got == sorted(keys)
+        assert select_chunks(spark, d, doc_ids=absent)[0].count() <= 2
+        assert decode(spark, d, doc_ids=absent).count() == 0
+        probe = keys[0]
+        one = decode(spark, d, filters={"doc_id": (probe, probe)})
+        assert [r["doc_id"] for r in one.select("doc_id").collect()] \
+            == [probe]
+
+    check(dst)
+
+    # legacy layout: re-embed the b64 bloom into the stats JSON and drop
+    # the bloom column — readers must fall back transparently
+    old = work + "/store_old"
+    shutil.copytree(dst, old)
+    for f in sorted(glob.glob(os.path.join(old, "data", "part_id=*",
+                                           "*.parquet"))):
+        tbl = pq.read_table(f)
+        stats, blooms = [], tbl.column("bloom")
+        for i in range(tbl.num_rows):
+            st = _json.loads(tbl.column("stats")[i].as_py())
+            bits = blooms[i].as_py()
+            if bits is not None:
+                st["doc_id"]["bloom"] = \
+                    base64.b64encode(bits).decode("ascii")
+            stats.append(_json.dumps(st))
+        idx = tbl.column_names.index("stats")
+        tbl = tbl.set_column(idx, "stats", pa.array(stats, pa.string()))
+        tbl = tbl.drop_columns(["bloom"])
+        # drop the embedded spark row-metadata (it still lists the bloom
+        # column, and Spark trusts it over the physical schema)
+        tbl = tbl.replace_schema_metadata(None)
+        pq.write_table(tbl, f, compression="none")
+    for crc in glob.glob(os.path.join(old, "data", "part_id=*", ".*.crc")):
+        os.unlink(crc)  # hadoop checksum sidecars of the replaced files
+    check(old)
+
+    # format reader: pushed doc_id IN probes prune on both layouts
+    from plc.datasource import register
+
+    register(spark)
+    for d in (dst, old):
+        got = (spark.read.format("plc").load(d)
+               .where(F.col("doc_id").isin(keys)).count())
+        assert got == len(keys)
+        n_abs = (spark.read.format("plc").load(d)
+                 .where(F.col("doc_id").isin(absent)).count())
+        assert n_abs == 0
+    shutil.rmtree(work, ignore_errors=True)
