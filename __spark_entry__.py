@@ -372,8 +372,11 @@ def _dedup_minhash_pairs(spark, sf):
     from plc.dedup import candidate_pairs, jaccard_verify
 
     tv = tokens_view(spark, sf)
+    # materialize the candidate pairs once: both the candidate counter and
+    # the verify path consume them, and verify additionally re-reads them
+    # for its candidate-key semi-join (plc.dedup.jaccard_verify)
     pairs = candidate_pairs(tv, "doc_id", "tokens", num_hashes=8, bands=4,
-                            seed=42, shingle_k=3)
+                            seed=42, shingle_k=3).localCheckpoint()
     ver = jaccard_verify(pairs, tv, "doc_id", "tokens", shingle_k=3,
                          threshold=0.5)
     return (pairs.agg(F.count("*").alias("n_candidates"))
@@ -489,8 +492,15 @@ def _ivf_recall_check(spark, sf):
     indexed = ivf_assign(emb, cent)
     dst = tempfile.mkdtemp(prefix="plc_qivf_")
     ivf_store(spark, indexed, dst, num_partitions=4)
-    brute = brute_force_topk(emb, q, k=5).collect()
-    approx = ivf_topk_stored(spark, dst, q, cent, k=5, nprobe=12).collect()
+    # brute-force truth and the stored-index search are independent
+    # actions — concurrent jobs fill the cluster instead of two walls
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_b = pool.submit(lambda: brute_force_topk(emb, q, k=5).collect())
+        f_a = pool.submit(lambda: ivf_topk_stored(
+            spark, dst, q, cent, k=5, nprobe=12).collect())
+        brute, approx = f_b.result(), f_a.result()
     truth = {}
     for r in brute:
         truth.setdefault(r["query_id"], set()).add(r["vec_id"])
@@ -722,10 +732,21 @@ def _batch_lookup(spark, sf):
     # bloom's documented false-positive budget (~0.2%/probe; a hard ==0
     # would eventually fail on a lucky hash at scale) but never a range
     # scan. Row-level exactness is the n_miss == 0 the oracle checks.
-    n_abs = select_chunks(spark, dst, doc_ids=absent)[0].count()
+    # The three probe actions are independent — run them as concurrent
+    # jobs on the idle cluster instead of three back-to-back walls.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_abs = pool.submit(
+            lambda: select_chunks(spark, dst, doc_ids=absent)[0].count())
+        f_hit = pool.submit(
+            lambda: select_chunks(spark, dst, doc_ids=keys)[0].count())
+        f_miss = pool.submit(
+            lambda: decode(spark, dst, doc_ids=absent).count())
+        n_abs, n_hitc, n_miss = (f_abs.result(), f_hit.result(),
+                                 f_miss.result())
     assert n_abs <= max(2, len(absent) // 10), n_abs
-    assert select_chunks(spark, dst, doc_ids=keys)[0].count() >= 1
-    n_miss = decode(spark, dst, doc_ids=absent).count()
+    assert n_hitc >= 1
     rows = decode(spark, dst, doc_ids=keys, columns=["doc_id", "n_tok"])
     return rows.agg(
         F.count("*").alias("n_docs"),

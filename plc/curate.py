@@ -42,16 +42,25 @@ def curate(spark: SparkSession, documents: DataFrame, dst: str, *,
     a real vocab/merges BPE instead of the word-hash stand-in."""
     from plc.dedup import decontaminate, dedup_minhash
     from plc.pipeline import PipelineConfig, encode
-    from plc.textstats import text_profile, tokens_table
+    from plc.textstats import language_id, quality_score, tokens_table
 
     counters = {"n_input": documents.count()}
 
-    prof = text_profile(documents)
+    # compute ONLY the profile columns the funnel filters on (quality,
+    # plus language when lang_keep is set) — the full text_profile also
+    # evaluates fingerprints and subword counts per document, and the
+    # checkpoint below would materialize them just to be dropped; and
+    # carry only the columns the tokenize+encode stages consume, so the
+    # checkpoint holds (doc_id, text, source), not every input column
+    prof = documents.withColumn("quality",
+                                F.round(quality_score("text"), 4))
     kept = prof.filter(F.col("quality") >= quality_min)
     if lang_keep:
-        kept = kept.filter(F.col("lang_pred").isin(list(lang_keep)))
+        kept = kept.filter(language_id("text").isin(list(lang_keep)))
+    carry = [c for c in ("doc_id", "text", "source")
+             if c in documents.columns]
     # checkpoint: `kept` feeds both its counter and the dedup lineage
-    kept = kept.localCheckpoint()
+    kept = kept.select(*carry).localCheckpoint()
     counters["n_quality"] = kept.count()
 
     tv = tokens_table(kept, tokenizer=tokenizer)

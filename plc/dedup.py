@@ -31,6 +31,10 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, functions as F
 
 MERSENNE_P = 4_294_967_291        # largest 32-bit prime
+# dedup_minhash: verified edge sets at or below this size are resolved
+# with exact driver-side union-find (~100 B/edge -> ~100 MB at the cap);
+# larger sets run the distributed min-label propagation loop
+_CC_DRIVER_MAX_EDGES = 1_000_000
 SHINGLE_MOD = 1 << 30
 _W1, _W2 = 1_299_721, 31_337      # shingle mixing weights (primes)
 _W1B, _W2B = 2_750_159, 104_729   # second-plane bases (wide shingles)
@@ -293,8 +297,17 @@ def jaccard_verify(pairs: DataFrame, df: DataFrame, key_col: str,
                    tokens_col: str = "tokens", shingle_k: int = 3,
                    threshold: float = 0.5) -> DataFrame:
     """Exact shingle-set Jaccard on candidate pairs; keeps pairs ≥ threshold.
-    Verification cost is O(candidates), not O(n²)."""
-    sh = shingle_sets(df, key_col, tokens_col, shingle_k)
+    Verification cost is O(candidates), not O(n²): only rows that appear
+    in a candidate pair are ever re-shingled — the shingle kernel runs
+    over a semi-join of ``df`` against the candidate key set, not the
+    whole corpus again (callers materialize ``pairs`` first, so the key
+    set is a cheap re-read, and on a duplicate-light corpus the verify
+    pass touches a tiny fraction of the rows)."""
+    keys = (pairs.select(F.col("key_a").alias(key_col))
+            .unionByName(pairs.select(F.col("key_b").alias(key_col)))
+            .distinct())
+    cand_rows = df.join(keys, key_col, "left_semi")
+    sh = shingle_sets(cand_rows, key_col, tokens_col, shingle_k)
     j = (pairs
          .join(sh.select(F.col("k").alias("key_a"), F.col("sh").alias("sa")),
                "key_a")
@@ -607,27 +620,63 @@ def dedup_minhash(df: DataFrame, key_col: str, tokens_col: str = "tokens",
     any scale."""
     base = exact_dedup(df, tokens_col, key_col) if collapse_exact else df
     pairs = candidate_pairs(base, key_col, tokens_col, num_hashes, bands,
-                            seed, shingle_k)
-    edges = jaccard_verify(pairs, base, key_col, tokens_col, shingle_k,
-                           threshold).select("key_a", "key_b")
-    edges = edges.unionByName(
-        edges.select(F.col("key_b").alias("key_a"),
-                     F.col("key_a").alias("key_b"))).localCheckpoint()
+                            seed, shingle_k).localCheckpoint()
+    verified = jaccard_verify(pairs, base, key_col, tokens_col, shingle_k,
+                              threshold).select("key_a", "key_b") \
+        .localCheckpoint()
+    n_edges = verified.count()
+    if n_edges == 0:
+        return base
+    if n_edges <= _CC_DRIVER_MAX_EDGES:
+        # small edge set (the overwhelmingly common case after banded LSH
+        # + verify): exact union-find on the driver — identical components
+        # and min-key winners as converged label propagation, with 2 tiny
+        # jobs instead of ~3 shuffle joins per propagation round. The cap
+        # bounds driver memory (~100 B/edge); past it, the distributed
+        # loop below takes over.
+        parent: dict[str, str] = {}
+
+        def find(x: str) -> str:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in verified.collect():
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # min-root union keeps every root the component minimum
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        losers = [k for k in parent if find(k) != k]
+        spark = base.sparkSession
+        losers_df = spark.createDataFrame([(k,) for k in losers],
+                                          f"{key_col} string")
+        return base.join(F.broadcast(losers_df), key_col, "left_anti")
+    edges = verified.unionByName(
+        verified.select(F.col("key_b").alias("key_a"),
+                        F.col("key_a").alias("key_b"))).localCheckpoint()
     labels = (edges.select(F.col("key_a").alias("k"))
               .distinct().withColumn("comp", F.col("k")))
     changed = 0
     for _ in range(max_iter):
         nbr_min = (edges.join(labels, edges.key_b == labels.k)
                    .groupBy("key_a").agg(F.min("comp").alias("nbr_comp")))
+        # the new label AND a changed flag come out of ONE join; the
+        # convergence count is then a cheap scan of the checkpointed
+        # frame, not another labels-to-labels shuffle join per round
         new_labels = (labels.join(nbr_min, labels.k == nbr_min.key_a, "left")
                       .select(F.col("k"),
                               F.least(F.col("comp"),
                                       F.coalesce("nbr_comp", F.col("comp")))
-                              .alias("comp"))).localCheckpoint()
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "k")
-                   .filter(F.col("n.comp") != F.col("o.comp")).count())
-        labels = new_labels
+                              .alias("comp"),
+                              (F.coalesce("nbr_comp", F.col("comp"))
+                               < F.col("comp")).alias("_chg"))
+                      ).localCheckpoint()
+        changed = new_labels.filter(F.col("_chg")).count()
+        labels = new_labels.drop("_chg")
         if changed == 0:
             break
     if changed:

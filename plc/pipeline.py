@@ -1449,7 +1449,15 @@ def verify(spark: SparkSession, src: DataFrame, dst: str,
                          ).collect()[0]
             return (row["n"], row["hsum"], row["hmod"])
 
-        s_sig, d_sig = _sig(src.select(*cols)), _sig(dec.select(*cols))
+        # the two sides are independent scans — run them as concurrent
+        # jobs so the decode side's tail back-fills with the source scan
+        # (guide §2.6) instead of serializing two full passes
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_s = pool.submit(_sig, src.select(*cols))
+            f_d = pool.submit(_sig, dec.select(*cols))
+            s_sig, d_sig = f_s.result(), f_d.result()
         _guard_vacuous(sample, sample_parts, s_sig[0], d_sig[0])
         return {**base, "mismatches": int(s_sig != d_sig),
                 "rows_source": s_sig[0], "rows_decoded": d_sig[0],
