@@ -320,6 +320,39 @@ def _sbucket_col(plan: dict):
             .cast("int"))
 
 
+# widest bounds list turned into a JVM comparison tree (depth log2(P));
+# beyond it the expression would strain codegen and the sampled range
+# exchange takes over (its extra input pass amortizes at that scale)
+_PID_EXPR_MAX_BOUNDS = 128
+
+
+def _pid_expr(plan: dict):
+    """Part-id Column replicating the encoder's routing arithmetic
+    (``np.searchsorted(bounds, doc_id, side="right")``, stragglers to
+    ``n_parts + _sbucket - 1``) as a binary-search WHEN tree — O(log P)
+    string comparisons per row, built once at plan time. None when the
+    plan has no usable bounds or too many for an expression tree."""
+    bounds = plan["bounds"]
+    if not bounds or len(bounds) > _PID_EXPR_MAX_BOUNDS:
+        return None
+
+    def tree(lo: int, hi: int):
+        # parts lo..hi; part index m holds rows with #{b <= doc} == m,
+        # so part <= mid  <=>  doc < bounds[mid]
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        return F.when(F.col("doc_id") < F.lit(bounds[mid]),
+                      tree(lo, mid)).otherwise(tree(mid + 1, hi))
+
+    rng = tree(0, plan["n_parts"] - 1).cast("int")
+    if plan["straggler_parts"] > 0:
+        return F.when(F.col("_sbucket") > 0,
+                      F.lit(plan["n_parts"]) + F.col("_sbucket") - 1) \
+            .otherwise(rng).cast("int")
+    return rng
+
+
 def _pending_predicate(plan: dict, committed: set[int]):
     """P6 resume: SQL predicate selecting rows of uncommitted parts only.
     Normal parts become doc_id range predicates (parquet row-group skippable);
@@ -439,7 +472,26 @@ def encode(spark: SparkSession, df: DataFrame, dst: str,
     if cfg.shuffle == "none":
         shuffled = df  # input layout already clusters doc_id; no exchange
     else:
-        shuffled = df.repartitionByRange(total_parts, "_sbucket", "doc_id")
+        pid = _pid_expr(plan)
+        if pid is not None:
+            # ONE pass over the input: the plan's own bounds route each
+            # row to its part via a log2(P)-deep comparison tree, and the
+            # exchange hashes that precomputed pid. repartitionByRange
+            # would instead run Spark's RangePartitioner sampling job —
+            # a SECOND full evaluation of the child (scan + tokenize for
+            # derived inputs) before the real shuffle. 4x partitions
+            # spread hash collisions so no reducer carries several parts
+            # (empty partitions schedule as no-op tasks); the encoder
+            # labels rows by the same searchsorted arithmetic regardless
+            # of which reducer they land on, so placement is purely a
+            # clustering hint and can never affect correctness.
+            shuffled = (df.withColumn("_pid", pid)
+                        .repartition(4 * total_parts, "_pid").drop("_pid"))
+        else:
+            # no usable bounds (single part) or too many for an
+            # expression tree: Spark's sampled range exchange
+            shuffled = df.repartitionByRange(total_parts, "_sbucket",
+                                             "doc_id")
         if cfg.sort_within:
             shuffled = shuffled.sortWithinPartitions("_sbucket", "doc_id")
 
