@@ -683,9 +683,11 @@ def _var_array(typ, large_typ, n: int, lengths: np.ndarray,
     built as int32 and both buffers wrapped ZERO-copy (``pa.py_buffer``
     keeps the numpy base alive) — the previous shape built large-offset
     buffers via ``.tobytes()`` and then cast large→small, three full
-    copies of the data plane for one decode. Planes over 2 GiB (cannot
-    happen at the default chunk cap, but the container allows it) take
-    the large-offset fallback."""
+    copies of the data plane for one decode. Offsets past int32 route
+    through a large-offset array + cast, which succeeds below 2 GiB of
+    payload (the threshold-shrunk test's territory) and raises a clear
+    re-encode-with-smaller-chunks error above it — a >2 GiB plane cannot
+    be one int32-offset Arrow array at all."""
     offsets = K.offsets_from_lengths(lengths)
     if offsets[-1] <= _I32_MAX:
         return pa.Array.from_buffers(
@@ -693,7 +695,17 @@ def _var_array(typ, large_typ, n: int, lengths: np.ndarray,
                      pa.py_buffer(data)])
     arr = pa.Array.from_buffers(
         large_typ, n, [None, pa.py_buffer(offsets), pa.py_buffer(data)])
-    return arr.cast(typ)
+    try:
+        return arr.cast(typ)
+    except pa.ArrowInvalid as e:
+        # a plane with >2 GiB of payload cannot be represented as one
+        # int32-offset Arrow array at all — say so instead of dying in
+        # the cast (ADVICE r6); the fix is a smaller chunk cap at encode
+        raise ValueError(
+            f"variable-width plane holds {int(offsets[-1])} bytes — over "
+            f"the 2 GiB int32-offset limit of a single Arrow {typ} "
+            f"array; re-encode the store with a lower max_chunk_values"
+        ) from e
 
 
 def decode_frame(buf: memoryview, pos: int = 0):
@@ -745,8 +757,15 @@ def decode_frame(buf: memoryview, pos: int = 0):
             arr = pa.ListArray.from_arrays(
                 pa.array(offsets.astype(np.int32)), vals)
         else:
-            arr = pa.LargeListArray.from_arrays(
-                pa.array(offsets), vals).cast(pa.list_(pa.int32()))
+            try:
+                arr = pa.LargeListArray.from_arrays(
+                    pa.array(offsets), vals).cast(pa.list_(pa.int32()))
+            except pa.ArrowInvalid as e:
+                raise ValueError(
+                    f"list plane holds {int(offsets[-1])} values — over "
+                    f"the 2 GiB int32-offset limit of a single Arrow "
+                    f"list array; re-encode the store with a lower "
+                    f"max_chunk_values") from e
         return arr, end
     if codec == LISTGEN:
         lengths, p2 = decode_frame(buf, body)

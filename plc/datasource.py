@@ -173,9 +173,13 @@ def _committed_batch_ids(pfs: _PlanFS) -> list[int]:
         name = posixpath.basename(st.path)
         if not name.startswith("batch="):
             continue
+        try:
+            bid = int(name.split("=", 1)[1])
+        except ValueError:
+            continue  # foreign batch= name: not ours, skip (ADVICE r6)
         if pfs.exists(posixpath.join(name, "_manifest",
                                      "_STREAM_COMMITTED")):
-            out.append(int(name.split("=")[1]))
+            out.append(bid)
     return sorted(out)
 
 
@@ -267,7 +271,11 @@ def _committed_data_files(pfs: _PlanFS, roots: list[str],
                 name = posixpath.basename(st.path)
                 if not name.startswith("part_id="):
                     continue
-                if int(name.split("=")[1]) not in glob_pids:
+                try:
+                    pid = int(name.split("=", 1)[1])
+                except ValueError:
+                    continue  # foreign part_id= name: never committed
+                if pid not in glob_pids:
                     continue  # uncommitted or manifest-named
                 pdirs.append(posixpath.join(data_rel, name))
         for infos in pool.map(pfs.listdir, sorted(pdirs)):

@@ -80,9 +80,13 @@ def committed_batches(spark: SparkSession, dst: str) -> list[tuple[int, str]]:
         name = st.getPath().getName()
         if not name.startswith("batch="):
             continue
+        try:
+            bid = int(name.split("=", 1)[1])
+        except ValueError:
+            continue  # foreign batch= name: not ours, skip (ADVICE r6)
         b = st.getPath().toString()
         if fsio.exists(spark, f"{b}/_manifest/_STREAM_COMMITTED"):
-            out.append((int(name.split("=", 1)[1]), b))
+            out.append((bid, b))
     return sorted(out)
 
 
@@ -94,11 +98,13 @@ def decode_stream(spark: SparkSession, dst: str) -> DataFrame:
     per-batch decodes (O(N) per downstream query at thousands of
     microbatches; same fix as :func:`compact_stream`). The reader also
     refuses schema/weight divergence across batches, which the by-name
-    union would have papered over."""
+    union would have papered over. No emptiness pre-check: it would
+    re-list every batch dir the reader is about to list again (doubling
+    planning I/O at thousands of microbatches — ADVICE r6), and the
+    reader's own planner already raises a descriptive FileNotFoundError
+    for a root with no committed batches."""
     from plc.datasource import register
 
-    if not committed_batches(spark, dst):
-        raise FileNotFoundError(f"no committed stream batches under {dst}")
     register(spark)
     return spark.read.format("plc").load(dst)
 
