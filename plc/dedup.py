@@ -59,13 +59,18 @@ def hash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
 def exact_dedup(df: DataFrame, content_col: str, key_col: str) -> DataFrame:
     """Keep exactly one row (min key) per distinct content value.
 
-    Plan: md5 the content, min_by over a groupBy on the hash — one shuffle,
-    map-side partial agg, no self-join. At 10^12 rows the hash groupBy is
-    the canonical exact-dedup plan."""
-    h = F.md5(F.col(content_col).cast("string")).alias("_h")
-    keep = (df.select(h, key_col)
-            .groupBy("_h").agg(F.min(key_col).alias(key_col)))
-    return df.join(keep, key_col, "left_semi")
+    Plan: md5 the content, ``min_by(struct(*), key)`` over a groupBy on
+    the hash — ONE shuffle carrying each row once, map-side partial agg,
+    no join back (the previous shape shuffled the key set for the groupBy
+    and then both sides again for a semi-join: three exchanges per
+    evaluation, which compounds in dedup_minhash where this frame is in
+    the lineage of the verify, pair and survivor paths). At 10^12 rows
+    the hash groupBy is the canonical exact-dedup plan."""
+    h = F.md5(F.col(content_col).cast("string"))
+    return (df.groupBy(h.alias("_h"))
+            .agg(F.min_by(F.struct(*df.columns), F.col(key_col))
+                 .alias("_r"))
+            .select("_r.*"))
 
 
 def exact_dedup_stats(df: DataFrame, content_col: str, key_col: str,
