@@ -923,17 +923,60 @@ def encode_direct(spark: SparkSession, src_path: str, dst: str,
 # --------------------------------------------------------------------------
 
 
+# path-pinned committed reads: at or below this many committed paths the
+# enc scan lists them explicitly (driver pyarrow manifest read, zero
+# Spark jobs, no semi-join); above it the broadcast semi-join plan takes
+# over — the cap bounds plan size, not correctness
+_COMMITTED_PATHS_MAX = 4096
+
+
+def _committed_enc_paths(spark: SparkSession, dst: str) -> "DataFrame | None":
+    """Fast path for :func:`_committed_enc`: read the manifest driver-side
+    (pyarrow, O(parts)) and open EXACTLY the committed part dirs — or,
+    for format-written stores whose manifest names the winning file per
+    part, exactly those files (a zombie attempt's orphan is then never
+    even opened, strictly stronger than the name-filter join). Returns
+    None when the store needs the Spark-side plan (unresolvable path,
+    too many paths)."""
+    try:
+        from plc.datasource import _PlanFS, _committed_entries
+
+        pfs = _PlanFS(dst)
+        entries = _committed_entries(pfs, "")
+        if not entries:
+            return spark.createDataFrame([], ENC_SCHEMA_DDL)
+        paths = []
+        for pid in sorted(entries):
+            names = entries[pid]
+            pdir = os.path.join(_data_path(dst), f"part_id={pid}")
+            if names is None:
+                paths.append(pdir)  # glob semantics: every file is data
+            else:
+                paths.extend(os.path.join(pdir, f) for f in sorted(names))
+        if len(paths) > _COMMITTED_PATHS_MAX:
+            return None
+        return (spark.read.option("basePath", _data_path(dst))
+                .parquet(*paths))
+    except Exception:
+        return None
+
+
 def _committed_enc(spark: SparkSession, dst: str) -> DataFrame:
-    """Encoded-chunk table restricted to committed data: manifest
-    part_id semi-join, plus — for format-written stores, whose manifest
-    NAMES the winning data file per part — a file-name filter so an
-    orphan left in a part dir by a zombie/speculative task attempt is
-    invisible (the format writer writes task files directly into part
-    dirs on any pyarrow.fs target; the manifest is the commit point).
-    Parts with a NULL file (pipeline-sink commits, where Spark's own
-    commit protocol already guarantees no orphans) keep reading every
-    file in their dir. The name list is O(committed parts), same scale
-    as the semi-join side."""
+    """Encoded-chunk table restricted to committed data. Preferred shape:
+    a path-pinned scan of exactly the committed dirs/files
+    (:func:`_committed_enc_paths` — no manifest Spark job, no join).
+    Fallback: manifest part_id semi-join, plus — for format-written
+    stores, whose manifest NAMES the winning data file per part — a
+    file-name filter so an orphan left in a part dir by a
+    zombie/speculative task attempt is invisible (the format writer
+    writes task files directly into part dirs on any pyarrow.fs target;
+    the manifest is the commit point). Parts with a NULL file
+    (pipeline-sink commits, where Spark's own commit protocol already
+    guarantees no orphans) keep reading every file in their dir. The
+    name list is O(committed parts), same scale as the semi-join side."""
+    fast = _committed_enc_paths(spark, dst)
+    if fast is not None:
+        return fast
     man = spark.read.parquet(_manifest_path(dst))
     enc = _read_enc(spark, dst)
     if "file" in man.columns:
