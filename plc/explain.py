@@ -16,8 +16,8 @@ from plc import data as D
 def main(out_path: str = "BENCH/PLANS.md") -> None:
     from pyspark.sql import SparkSession, functions as F
     from plc.pipeline import (PipelineConfig, build_plan, decode, encode,
-                              _data_path, _make_encoder, _sbucket_col,
-                              ENC_SCHEMA_DDL)
+                              _data_path, _make_encoder, _pid_expr,
+                              _sbucket_col, ENC_SCHEMA_DDL)
 
     spark = (SparkSession.builder.master("local[4]")
              .config("spark.sql.shuffle.partitions", "4")
@@ -36,14 +36,23 @@ def main(out_path: str = "BENCH/PLANS.md") -> None:
             .fromString("formatted"))
 
     plan = build_plan(spark, df, cfg)
-    enc_df = (df.withColumn("_sbucket", _sbucket_col(plan))
-              .repartitionByRange(6, "_sbucket", "doc_id")
-              .sortWithinPartitions("_sbucket", "doc_id")
+    base = df.withColumn("_sbucket", _sbucket_col(plan))
+    pid = _pid_expr(plan)
+    total_parts = plan["n_parts"] + plan["straggler_parts"]
+    if pid is not None:
+        shuffled = (base.withColumn("_pid", pid)
+                    .repartition(4 * total_parts, "_pid").drop("_pid"))
+    else:
+        shuffled = base.repartitionByRange(total_parts, "_sbucket",
+                                           "doc_id")
+    enc_df = (shuffled.sortWithinPartitions("_sbucket", "doc_id")
               .mapInArrow(_make_encoder(plan, cfg), ENC_SCHEMA_DDL))
     from plc.dedup import candidate_pairs
 
     sections = [
-        ("E1 encode (scan → one range exchange → sort → MapInArrow)",
+        ("E1 encode (scan → ONE hash exchange on the plan-bounds pid "
+         "tree → sort → MapInArrow; r7 — no RangePartitioner sampling "
+         "pass)",
          fmt(enc_df)),
         ("E2 decode with doc_id bounds (PushedFilters on manifest min/max, "
          "broadcast committed-parts semi-join)",
