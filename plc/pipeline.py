@@ -1531,9 +1531,11 @@ def verify(spark: SparkSession, src: DataFrame, dst: str,
         pred = F.crc32(F.col("doc_id").cast("binary")) < thresh
         src, dec = src.filter(pred), dec.filter(pred)
     cols = [c for c in src.columns if c in dec.columns]
-    man = spark.read.parquet(_manifest_path(dst))
-    sums = man.agg(F.sum("raw_bytes"), F.sum("enc_bytes")).collect()[0]
-    base = {"raw_bytes": sums[0], "enc_bytes": sums[1]}
+    base = _manifest_sums_driver(dst)
+    if base is None:
+        man = spark.read.parquet(_manifest_path(dst))
+        sums = man.agg(F.sum("raw_bytes"), F.sum("enc_bytes")).collect()[0]
+        base = {"raw_bytes": sums[0], "enc_bytes": sums[1]}
     if method == "checksum":
         def _sig(df):
             # decimal(38,0) accumulation: n * 2^63 fits to ~10^18 rows
@@ -1567,6 +1569,32 @@ def verify(spark: SparkSession, src: DataFrame, dst: str,
     _guard_vacuous(sample, sample_parts, n_s, n_d)
     return {**base, "mismatches": bad, "rows_source": n_s,
             "rows_decoded": n_d, "method": "join"}
+
+
+def _manifest_sums_driver(dst: str) -> "dict | None":
+    """raw/enc byte totals straight from the manifest parquet files
+    (driver pyarrow — the manifest is O(parts) rows; no Spark job).
+    None on any resolution failure → caller runs the Spark aggregate."""
+    try:
+        import pyarrow.compute as pc
+
+        from plc.datasource import _PlanFS
+
+        pfs = _PlanFS(dst)
+        raw = enc_b = 0
+        seen = False
+        for st in pfs.listdir(posixpath.join("_manifest", "parts")):
+            if not st.path.endswith(".parquet"):
+                continue
+            tbl = pfs.read_parquet(st.path, ["raw_bytes", "enc_bytes"])
+            raw += int(pc.sum(tbl.column("raw_bytes")).as_py() or 0)
+            enc_b += int(pc.sum(tbl.column("enc_bytes")).as_py() or 0)
+            seen = True
+        if not seen:
+            return None
+        return {"raw_bytes": raw, "enc_bytes": enc_b}
+    except Exception:
+        return None
 
 
 def _guard_vacuous(sample, sample_parts, n_src: int, n_dec: int) -> None:
