@@ -41,7 +41,7 @@ def main(out_path: str = "BENCH/PLANS.md") -> None:
     total_parts = plan["n_parts"] + plan["straggler_parts"]
     if pid is not None:
         shuffled = (base.withColumn("_pid", pid)
-                    .repartition(4 * total_parts, "_pid").drop("_pid"))
+                    .repartition(total_parts, "_pid").drop("_pid"))
     else:
         shuffled = base.repartitionByRange(total_parts, "_sbucket",
                                            "doc_id")

@@ -326,30 +326,87 @@ def _sbucket_col(plan: dict):
 _PID_EXPR_MAX_BOUNDS = 128
 
 
+def _murmur3_int32(x: int, seed: int = 42) -> int:
+    """Spark's ``Murmur3Hash`` of one IntegerType value (= ``F.hash``
+    with the default seed) in pure Python — lets the driver precompute,
+    for each part, a TAG integer whose hash lands in its own shuffle
+    slot, so ``repartition(P, tag)`` places exactly one part per reduce
+    partition with no collisions and no extra partitions. Pinned against
+    ``F.hash`` in tests; a mismatch would only cost placement balance,
+    never correctness (the encoder labels rows by its own routing)."""
+    m = 0xFFFFFFFF
+
+    def rotl(v, r):
+        return ((v << r) | (v >> (32 - r))) & m
+
+    k1 = (x & m) * 0xcc9e2d51 & m
+    k1 = rotl(k1, 15) * 0x1b873593 & m
+    h1 = (seed & m) ^ k1
+    h1 = (rotl(h1, 13) * 5 + 0xe6546b64) & m
+    h1 ^= 4  # length in bytes
+    h1 ^= h1 >> 16
+    h1 = h1 * 0x85ebca6b & m
+    h1 ^= h1 >> 13
+    h1 = h1 * 0xc2b2ae35 & m
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1  # signed int32
+
+
+def _slot_tags(n: int) -> list[int]:
+    """tags[p] = smallest unused non-negative int whose
+    ``pmod(murmur3, n)`` equals a still-empty slot, assigned in tag
+    order — a perfect part→shuffle-slot placement in expected O(n log n)
+    tries."""
+    tags: list[int | None] = [None] * n
+    left, t = n, 0
+    while left:
+        s = _murmur3_int32(t) % n  # python % = pmod for positive n
+        if tags[s] is None:
+            tags[s] = t
+            left -= 1
+        t += 1
+    # tags currently indexed by SLOT; invert to part-index order —
+    # part p may use any slot, so just hand out slots in order
+    return [tags[p] for p in range(n)]
+
+
 def _pid_expr(plan: dict):
-    """Part-id Column replicating the encoder's routing arithmetic
-    (``np.searchsorted(bounds, doc_id, side="right")``, stragglers to
-    ``n_parts + _sbucket - 1``) as a binary-search WHEN tree — O(log P)
-    string comparisons per row, built once at plan time. None when the
-    plan has no usable bounds or too many for an expression tree."""
+    """Shuffle-placement Column replicating the encoder's routing
+    arithmetic (``np.searchsorted(bounds, doc_id, side="right")``,
+    stragglers to ``n_parts + _sbucket - 1``) as a binary-search WHEN
+    tree — O(log P) string comparisons per row, built once at plan time.
+    The tree's leaves emit per-part TAG integers chosen so Spark's
+    Murmur3 hash maps each part to its own reduce partition
+    (:func:`_slot_tags`): ``repartition(total_parts, _pid)`` then yields
+    exactly one part per task — same task count as the range exchange,
+    none of its sampling pass, no hash-collision stragglers, and no
+    empty partitions multiplying per-task Python/IPC setup (the 4x
+    fan-out this replaces measured ~45 ms of Arrow reader init per task
+    plus worker import storms). None when the plan has no usable bounds
+    or too many for an expression tree."""
     bounds = plan["bounds"]
     if not bounds or len(bounds) > _PID_EXPR_MAX_BOUNDS:
         return None
+    total = plan["n_parts"] + plan["straggler_parts"]
+    tags = _slot_tags(total)
 
     def tree(lo: int, hi: int):
         # parts lo..hi; part index m holds rows with #{b <= doc} == m,
         # so part <= mid  <=>  doc < bounds[mid]
         if lo == hi:
-            return F.lit(lo)
+            return F.lit(tags[lo])
         mid = (lo + hi) // 2
         return F.when(F.col("doc_id") < F.lit(bounds[mid]),
                       tree(lo, mid)).otherwise(tree(mid + 1, hi))
 
     rng = tree(0, plan["n_parts"] - 1).cast("int")
     if plan["straggler_parts"] > 0:
-        return F.when(F.col("_sbucket") > 0,
-                      F.lit(plan["n_parts"]) + F.col("_sbucket") - 1) \
-            .otherwise(rng).cast("int")
+        strag = F.lit(tags[plan["n_parts"]])
+        for j in range(1, plan["straggler_parts"]):
+            strag = F.when(F.col("_sbucket") == j + 1,
+                           F.lit(tags[plan["n_parts"] + j])).otherwise(strag)
+        return F.when(F.col("_sbucket") > 0, strag).otherwise(rng) \
+            .cast("int")
     return rng
 
 
@@ -475,18 +532,18 @@ def encode(spark: SparkSession, df: DataFrame, dst: str,
         pid = _pid_expr(plan)
         if pid is not None:
             # ONE pass over the input: the plan's own bounds route each
-            # row to its part via a log2(P)-deep comparison tree, and the
-            # exchange hashes that precomputed pid. repartitionByRange
-            # would instead run Spark's RangePartitioner sampling job —
-            # a SECOND full evaluation of the child (scan + tokenize for
-            # derived inputs) before the real shuffle. 4x partitions
-            # spread hash collisions so no reducer carries several parts
-            # (empty partitions schedule as no-op tasks); the encoder
-            # labels rows by the same searchsorted arithmetic regardless
-            # of which reducer they land on, so placement is purely a
-            # clustering hint and can never affect correctness.
+            # row to its part via a log2(P)-deep comparison tree whose
+            # leaves are murmur-perfect slot tags (one part per reduce
+            # partition — see _pid_expr), and the exchange hashes that
+            # tag. repartitionByRange would instead run Spark's
+            # RangePartitioner sampling job — a SECOND full evaluation
+            # of the child (scan + tokenize for derived inputs) before
+            # the real shuffle. The encoder labels rows by the same
+            # searchsorted arithmetic regardless of which reducer they
+            # land on, so placement is purely a clustering hint and can
+            # never affect correctness.
             shuffled = (df.withColumn("_pid", pid)
-                        .repartition(4 * total_parts, "_pid").drop("_pid"))
+                        .repartition(total_parts, "_pid").drop("_pid"))
         else:
             # no usable bounds (single part) or too many for an
             # expression tree: Spark's sampled range exchange

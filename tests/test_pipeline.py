@@ -900,3 +900,21 @@ def test_bloom_split_layout_and_legacy_fallback(spark):
                  .where(F.col("doc_id").isin(absent)).count())
         assert n_abs == 0
     shutil.rmtree(work, ignore_errors=True)
+
+
+def test_murmur_tags_match_spark_hash_and_place_uniquely(spark):
+    """The driver-side Murmur3 twin must equal F.hash (seed 42) so the
+    slot tags in _pid_expr place one part per shuffle partition; a
+    mismatch costs only placement balance, never correctness — but pin
+    it anyway."""
+    from plc.pipeline import _murmur3_int32, _slot_tags
+
+    vals = list(range(200)) + [2**31 - 1, 12345678]
+    df = spark.createDataFrame([(v,) for v in vals], "v int")
+    got = {r["v"]: r["h"] for r in
+           df.select("v", F.hash("v").alias("h")).collect()}
+    for v in vals:
+        assert _murmur3_int32(v) == got[v], v
+    for n in (1, 2, 7, 36, 64):
+        tags = _slot_tags(n)
+        assert sorted(_murmur3_int32(t) % n for t in tags) == list(range(n))
